@@ -1,0 +1,85 @@
+"""Assembly configuration.
+
+One frozen dataclass drives the whole pipeline (SURVEY.md §5 "Config /
+flag system"): settable from the CLI and from Python, hashed into every
+stage-artifact manifest for reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblyConfig:
+    """Parameters of the SAGE2-style assembly pipeline.
+
+    The defaults target ~100 bp Illumina reads at ~50x coverage (the
+    reference's E. coli headline config, BASELINE.json configs[0]).
+    """
+
+    # --- k-mer layer (SURVEY.md §2 "k-mer counter" / "Error corrector") ---
+    k: int = 25                     # k-mer length; 1 < k <= 31 (fits 2 uint32 words)
+    solid_threshold: int = 2        # count >= threshold => k-mer is "solid"
+    correction_rounds: int = 2      # spectrum-correction iterations (RACER-style)
+
+    # --- overlap layer (SURVEY.md §2 "Overlap detector") ---
+    min_overlap: int = 40           # minimum exact suffix-prefix overlap length
+    seed_len: int = 32              # seed bases for the sorted join (capped at min_overlap)
+
+    # --- graph layer (SURVEY.md §2 "Graph builder"/"cleaner") ---
+    tip_max_reads: int = 4          # dead-end unitigs of <= this many reads are tips
+    bubble_max_reads: int = 10      # parallel paths of <= this many reads may be popped
+    bubble_ratio: float = 0.5       # pop the branch if its coverage < ratio * rival's
+
+    # --- traversal (SURVEY.md §2 "Copy-count / cost model", §3.5) ---
+    traversal: str = "mincost"      # "unitig" (conservative) | "mincost" (SAGE-style)
+    min_contig_len: int = 200       # drop contigs shorter than this many bases
+
+    # --- capacities (static shapes; SURVEY.md §7 "Hard parts") ---
+    candidate_capacity: int = 1 << 20   # max overlap candidates per batch
+    reduce_capacity: int = 1 << 20      # max length-2 path expansions per pass
+
+    # --- parallelism (SURVEY.md §2 parallelism table) ---
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None => single device
+    bucket_bits: int = 6            # k-mer bucket bits for the all-to-all merge
+
+    # --- misc ---
+    read_len: Optional[int] = None  # fixed read length; None => infer from input
+
+    def __post_init__(self) -> None:
+        if not (1 < self.k <= 31):
+            raise ValueError(f"k must be in (1, 31], got {self.k}")
+        if self.min_overlap <= self.k:
+            raise ValueError(
+                f"min_overlap ({self.min_overlap}) must exceed k ({self.k})"
+            )
+        if self.traversal not in ("unitig", "mincost"):
+            raise ValueError(f"unknown traversal mode {self.traversal!r}")
+
+    @property
+    def effective_seed_len(self) -> int:
+        """Seed length actually used by the overlap join (<= 32 bases)."""
+        return min(self.seed_len, self.min_overlap, 32)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        if d["mesh_shape"] is not None:
+            d["mesh_shape"] = list(d["mesh_shape"])
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "AssemblyConfig":
+        d = dict(d)
+        if d.get("mesh_shape") is not None:
+            d["mesh_shape"] = tuple(d["mesh_shape"])
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def digest(self) -> str:
+        """Stable hash of the config, recorded in artifact manifests."""
+        blob = json.dumps(self.to_dict(), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,103 @@
+"""Spectrum-based read error correction (RACER-style).
+
+Method (SURVEY.md §2 "Error corrector"; RACER, Ilie & Molnar 2013): a base
+is corrected when the k-mer covering it is weak (count below threshold)
+and exactly one alternative base makes that k-mer solid. Each round:
+
+  1. recount canonical k-mers of the current reads;
+  2. FORWARD sub-pass — for every window, test the 4 variants of its LAST
+     base; all verdicts are computed from the pre-pass reads and applied
+     at once (base p in [k-1, L-1] is judged by window w = p-k+1);
+  3. BACKWARD sub-pass — on the forward-updated reads, same table, test
+     variants of each window's FIRST base (covers p in [0, L-k]).
+
+Replacement rule (shared with the oracle, sage2_tpu/refmodel/oracle.py):
+replace iff count(current) < threshold, max count of the 4 variants >=
+threshold, and that max is attained by exactly one base.
+
+TPU design: the 4 variant keys per window are O(1) edits of the window's
+(hi, lo) key pair (a base owns a fixed 2-bit field), so a pass is pure
+vector arithmetic plus 4 binary-search probes of the sorted count table —
+no per-base scalar loop, everything batched over (N, P) windows.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sage2_tpu.kmer.count import KmerTable, count_kmers, lookup_counts
+from sage2_tpu.ops import bitpack
+
+
+def _variant_counts_last(reads, table: KmerTable, k: int):
+    """Counts of the 4 last-base variants of every window: (N, P, 4)."""
+    fh, fl = bitpack.kmer_keys(reads, k)
+    rh, rl = bitpack.revcomp_kmer_keys(reads, k)
+    P = reads.shape[-1] - k + 1
+    cur = reads[..., k - 1 : k - 1 + P]  # last base of each window
+    outs = []
+    for b in range(4):
+        bb = jnp.full(cur.shape, b, cur.dtype)
+        # forward key: edit base at k-mer position k-1
+        vfh, vfl = bitpack.set_base(fh, fl, k, k - 1, cur, bb)
+        # rc key: last fwd base is rc position 0 with complemented code
+        vrh, vrl = bitpack.set_base(rh, rl, k, 0, 3 - cur, 3 - bb)
+        ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
+        outs.append(lookup_counts(table, ch, cl))
+    return jnp.stack(outs, axis=-1), cur
+
+
+def _variant_counts_first(reads, table: KmerTable, k: int):
+    """Counts of the 4 first-base variants of every window: (N, P, 4)."""
+    fh, fl = bitpack.kmer_keys(reads, k)
+    rh, rl = bitpack.revcomp_kmer_keys(reads, k)
+    P = reads.shape[-1] - k + 1
+    cur = reads[..., :P]  # first base of each window
+    outs = []
+    for b in range(4):
+        bb = jnp.full(cur.shape, b, cur.dtype)
+        vfh, vfl = bitpack.set_base(fh, fl, k, 0, cur, bb)
+        # first fwd base is rc position k-1 with complemented code
+        vrh, vrl = bitpack.set_base(rh, rl, k, k - 1, 3 - cur, 3 - bb)
+        ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
+        outs.append(lookup_counts(table, ch, cl))
+    return jnp.stack(outs, axis=-1), cur
+
+
+def _apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int):
+    """Apply the replacement rule; window w's verdict edits base
+    w + base_pos_offset."""
+    m = jnp.max(counts4, axis=-1)
+    n_at_max = jnp.sum((counts4 == m[..., None]).astype(jnp.int32), axis=-1)
+    cur_cnt = jnp.take_along_axis(
+        counts4, cur[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    best = jnp.argmax(counts4, axis=-1).astype(reads.dtype)
+    replace = (cur_cnt < threshold) & (m >= threshold) & (n_at_max == 1)
+    P = cur.shape[-1]
+    new = reads
+    sl = slice(base_pos_offset, base_pos_offset + P)
+    seg = new[..., sl]
+    new = new.at[..., sl].set(jnp.where(replace, best, seg))
+    return new
+
+
+def correct_reads(
+    reads: jnp.ndarray,
+    k: int,
+    threshold: int,
+    rounds: int,
+    table: KmerTable | None = None,
+) -> jnp.ndarray:
+    """Correct fixed-length reads (N, L). Returns corrected reads.
+
+    ``table``: optional precomputed count table for the FIRST round (the
+    pipeline passes the counting stage's artifact); later rounds recount.
+    """
+    for r in range(rounds):
+        t = table if (r == 0 and table is not None) else count_kmers(reads, k)
+        counts4, cur = _variant_counts_last(reads, t, k)
+        reads = _apply_verdicts(reads, counts4, cur, k - 1, threshold)
+        counts4, cur = _variant_counts_first(reads, t, k)
+        reads = _apply_verdicts(reads, counts4, cur, 0, threshold)
+    return reads
