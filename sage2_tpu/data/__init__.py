@@ -1,5 +1,5 @@
 """Synthetic dataset generation (no network: datasets are simulated)."""
 
-from sage2_tpu.data.simulate import simulate_genome, simulate_reads
+from sage2_tpu.data.simulate import simulate_genome, simulate_reads, write_fastq
 
-__all__ = ["simulate_genome", "simulate_reads"]
+__all__ = ["simulate_genome", "simulate_reads", "write_fastq"]

@@ -1,0 +1,283 @@
+"""Host-side finishing: unitig-graph cleaning and contig emission.
+
+After device-side reduction and unitig labeling, the condensed unitig
+graph is orders of magnitude smaller than the read graph (~#junctions),
+so tip removal, bubble popping, and final path joining run on host
+(SURVEY.md §3.5: "finalizing ambiguous joins on host"; §2 "Graph
+cleaner"). All rules are RC-symmetric, so the double-stranded graph stays
+consistent and each contig is emitted once in canonical orientation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from sage2_tpu.config import AssemblyConfig
+
+
+@dataclasses.dataclass
+class Unitig:
+    uid: int
+    vertices: List[int]          # ordered chain of read-vertices
+    ovls: List[int]              # overlap v[i] -> v[i+1], len = len(vertices)-1
+    length: int                  # bases
+    n_reads: int
+    coverage: float              # read-multiplicity bases / length
+
+
+@dataclasses.dataclass
+class UnitigGraph:
+    unitigs: Dict[int, Unitig]
+    out_edges: Dict[int, List[Tuple[int, int]]]   # uid -> [(uid2, ovl)]
+    in_edges: Dict[int, List[Tuple[int, int]]]
+    uid_of_head: Dict[int, int]
+    uid_of_tail: Dict[int, int]
+
+
+def build_unitig_graph(
+    head: np.ndarray,
+    dist: np.ndarray,
+    ovl_next: np.ndarray,
+    edges: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    valid2: np.ndarray,
+    multiplicity: np.ndarray,
+    read_len: int,
+) -> UnitigGraph:
+    """Condense chain labels + reduced edges into the unitig graph."""
+    V = head.shape[0]
+    vids = np.nonzero(valid2)[0]
+    order = np.lexsort((dist[vids], head[vids]))
+    sv = vids[order]
+    unitigs: Dict[int, Unitig] = {}
+    uid_of_head: Dict[int, int] = {}
+    uid_of_tail: Dict[int, int] = {}
+    vert_uid = np.full(V, -1, np.int64)
+
+    i = 0
+    uid = 0
+    n = len(sv)
+    while i < n:
+        j = i
+        h = head[sv[i]]
+        while j < n and head[sv[j]] == h:
+            j += 1
+        chain = [int(v) for v in sv[i:j]]
+        ovls = [int(ovl_next[v]) for v in chain[:-1]]
+        length = read_len + sum(read_len - o for o in ovls)
+        mult = sum(int(multiplicity[v]) for v in chain)
+        unitigs[uid] = Unitig(
+            uid, chain, ovls, length, len(chain),
+            coverage=mult * read_len / max(length, 1),
+        )
+        uid_of_head[chain[0]] = uid
+        uid_of_tail[chain[-1]] = uid
+        for v in chain:
+            vert_uid[v] = uid
+        i = j
+        uid += 1
+
+    out_edges: Dict[int, List[Tuple[int, int]]] = {u: [] for u in unitigs}
+    in_edges: Dict[int, List[Tuple[int, int]]] = {u: [] for u in unitigs}
+    src, dst, ovl = edges
+    for a, b, o in zip(src, dst, ovl):
+        a, b, o = int(a), int(b), int(o)
+        if a >= V or not valid2[a]:
+            continue
+        ua, ub = int(vert_uid[a]), int(vert_uid[b])
+        # chain edges are interior to a unitig: tail(a)->head(b) otherwise
+        if ua == ub and unitigs[ua].vertices[0] != b:
+            continue
+        if uid_of_tail.get(a) == ua and uid_of_head.get(b) == ub:
+            out_edges[ua].append((ub, o))
+            in_edges[ub].append((ua, o))
+    return UnitigGraph(unitigs, out_edges, in_edges, uid_of_head, uid_of_tail)
+
+
+def rc_vertex(v: int, cap: int) -> int:
+    return (v + cap) % (2 * cap)
+
+
+def twin_uid(g: UnitigGraph, uid: int, cap: int) -> Optional[int]:
+    """The unitig representing the reverse complement of ``uid``."""
+    tail = g.unitigs[uid].vertices[-1]
+    return g.uid_of_head.get(rc_vertex(tail, cap))
+
+
+def _remove_unitig(g: UnitigGraph, uid: int) -> None:
+    for (nb, o) in g.out_edges.pop(uid, []):
+        g.in_edges[nb] = [(u, oo) for (u, oo) in g.in_edges[nb] if u != uid]
+    for (nb, o) in g.in_edges.pop(uid, []):
+        g.out_edges[nb] = [(u, oo) for (u, oo) in g.out_edges[nb] if u != uid]
+    u = g.unitigs.pop(uid)
+    g.uid_of_head.pop(u.vertices[0], None)
+    g.uid_of_tail.pop(u.vertices[-1], None)
+
+
+def remove_tips(g: UnitigGraph, cap: int, max_reads: int, rounds: int = 4) -> int:
+    """Drop short dead-end/dead-start unitigs hanging off the graph.
+
+    RC-symmetric: a dead-end tip's twin is a dead-start tip; both match.
+    Isolated unitigs (no edges at all) are never tips.
+    """
+    removed = 0
+    for _ in range(rounds):
+        tips = []
+        for uid, u in g.unitigs.items():
+            if u.n_reads > max_reads:
+                continue
+            has_out = bool(g.out_edges.get(uid))
+            has_in = bool(g.in_edges.get(uid))
+            if has_out != has_in:  # dead end xor dead start, attached
+                tips.append(uid)
+        if not tips:
+            break
+        for uid in tips:
+            if uid in g.unitigs:
+                _remove_unitig(g, uid)
+                removed += 1
+    return removed
+
+
+def pop_bubbles(
+    g: UnitigGraph, cap: int, max_reads: int, ratio: float
+) -> int:
+    """Pop simple bubbles: parallel single-in/single-out short unitigs
+    between the same junction pair; keep the best-supported branch.
+
+    Deterministic and RC-symmetric: the winner is (coverage, then length,
+    then canonical-orientation tie-break on the unitig's base sequence
+    position — here the minimum vertex id of the pair {min(v0), min(rc
+    tie)} which twins share).
+    """
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for uid, u in g.unitigs.items():
+        if u.n_reads > max_reads:
+            continue
+        if len(g.in_edges.get(uid, [])) == 1 and len(g.out_edges.get(uid, [])) == 1:
+            a = g.in_edges[uid][0][0]
+            b = g.out_edges[uid][0][0]
+            groups.setdefault((a, b), []).append(uid)
+    removed = 0
+    for (a, b), uids in groups.items():
+        if len(uids) < 2:
+            continue
+        # twin-consistent tie-break key: min over the unitig and its twin
+        # of the minimum vertex id (shared by RC pairs)
+        def key(uid):
+            u = g.unitigs[uid]
+            t = twin_uid(g, uid, cap)
+            mv = min(u.vertices)
+            if t is not None and t in g.unitigs:
+                mv = min(mv, min(g.unitigs[t].vertices))
+            return (-u.coverage, -u.length, mv)
+
+        uids_sorted = sorted(uids, key=key)
+        best = g.unitigs[uids_sorted[0]]
+        for uid in uids_sorted[1:]:
+            u = g.unitigs.get(uid)
+            if u is None:
+                continue
+            if u.coverage <= ratio * best.coverage or abs(
+                u.length - best.length
+            ) <= 0.1 * best.length:
+                t = twin_uid(g, uid, cap)
+                _remove_unitig(g, uid)
+                removed += 1
+                if t is not None and t != uid and t in g.unitigs:
+                    _remove_unitig(g, t)
+                    removed += 1
+    return removed
+
+
+def join_paths(g: UnitigGraph) -> List[List[int]]:
+    """Merge unambiguous unitig chains after cleaning; returns paths of
+    uids (cycles broken at the minimum uid)."""
+    nxt: Dict[int, int] = {}
+    for uid in g.unitigs:
+        outs = g.out_edges.get(uid, [])
+        if len(outs) == 1:
+            nb = outs[0][0]
+            if len(g.in_edges.get(nb, [])) == 1 and nb != uid:
+                nxt[uid] = nb
+    prv = {v: u for u, v in nxt.items()}
+    paths = []
+    seen: Set[int] = set()
+    for uid in sorted(g.unitigs):
+        if uid in seen or uid in prv:
+            continue
+        path = [uid]
+        seen.add(uid)
+        while path[-1] in nxt and nxt[path[-1]] not in seen:
+            path.append(nxt[path[-1]])
+            seen.add(path[-1])
+        paths.append(path)
+    for uid in sorted(g.unitigs):  # cycles
+        if uid in seen:
+            continue
+        cyc = [uid]
+        seen.add(uid)
+        w = nxt.get(uid)
+        while w is not None and w not in seen:
+            cyc.append(w)
+            seen.add(w)
+            w = nxt.get(w)
+        start = cyc.index(min(cyc))
+        paths.append(cyc[start:] + cyc[:start])
+    return paths
+
+
+def path_ovl(g: UnitigGraph, a: int, b: int) -> int:
+    for (nb, o) in g.out_edges.get(a, []):
+        if nb == b:
+            return o
+    raise KeyError((a, b))
+
+
+def emit_contigs(
+    g: UnitigGraph,
+    paths: List[List[int]],
+    reads2: np.ndarray,
+    config: AssemblyConfig,
+) -> List[np.ndarray]:
+    """Stitch paths into base sequences; canonical-orientation dedup.
+
+    Each contig appears twice in the double-stranded graph (as its own
+    reverse complement); only the lexicographically smaller orientation is
+    emitted (SURVEY.md §7: deterministic, reshard-invariant output).
+    """
+    L = reads2.shape[1]
+    contigs = []
+    for path in paths:
+        pieces = []
+        prev_tail = None
+        for uid in path:
+            u = g.unitigs[uid]
+            verts = u.vertices
+            ovls = list(u.ovls)
+            if prev_tail is not None:
+                join = path_ovl(g, prev_tail, uid)
+                ovls = [join] + ovls
+            else:
+                pieces.append(reads2[verts[0]])
+                verts = verts[1:]
+                ovls = u.ovls
+            for v, o in zip(verts, ovls):
+                pieces.append(reads2[v][o:])
+            prev_tail = uid
+        seq = np.concatenate(pieces) if pieces else np.zeros(0, reads2.dtype)
+        if len(seq) < config.min_contig_len:
+            continue
+        rc = (3 - seq)[::-1]
+        if tuple(seq) <= tuple(rc):
+            contigs.append(seq)
+        else:
+            contigs.append(rc)
+    # dedup identical canonical contigs (each double-stranded path pair)
+    uniq = {}
+    for c in contigs:
+        uniq.setdefault(c.tobytes(), c)
+    out = sorted(uniq.values(), key=lambda c: (-len(c), c.tobytes()))
+    return out

@@ -1,0 +1,121 @@
+"""FASTA/FASTQ(.gz) ingest: streaming parse -> packed code arrays.
+
+The Python path here is the portable fallback; the C++ native parser
+(csrc/sage2io.cpp via sage2_tpu.io.native) is used when built — the
+reference's ingest is native C++ + zlib too (SURVEY.md §2 "FASTQ/FASTA
+reader"). Both produce identical (N, L) int8 code arrays ('N' -> A,
+matching encode_ascii) for fixed-length reads; ragged inputs are either
+trimmed/filtered to the dominant length or rejected, per ``length_policy``.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections import Counter
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sage2_tpu.ops.bitpack import encode_ascii
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _parse_fastq_py(data: bytes) -> List[bytes]:
+    seqs = []
+    lines = data.split(b"\n")
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if not line:
+            i += 1
+            continue
+        if not line.startswith(b"@"):
+            raise ValueError(f"malformed FASTQ at line {i}: {line[:30]!r}")
+        if i + 1 >= n:
+            break
+        seqs.append(lines[i + 1].strip())
+        i += 4
+    return seqs
+
+
+def _parse_fasta_py(data: bytes) -> List[bytes]:
+    seqs = []
+    cur: List[bytes] = []
+    for line in data.split(b"\n"):
+        if line.startswith(b">"):
+            if cur:
+                seqs.append(b"".join(cur))
+                cur = []
+        elif line:
+            cur.append(line.strip())
+    if cur:
+        seqs.append(b"".join(cur))
+    return seqs
+
+
+def _to_array(
+    seqs: Sequence[bytes], length_policy: str = "strict"
+) -> np.ndarray:
+    if not seqs:
+        return np.zeros((0, 0), np.int8)
+    lens = Counter(len(s) for s in seqs)
+    if len(lens) > 1:
+        if length_policy == "strict":
+            raise ValueError(
+                f"mixed read lengths {sorted(lens)}; use length_policy="
+                "'trim' or 'filter'"
+            )
+        target = lens.most_common(1)[0][0]
+        if length_policy == "trim":
+            seqs = [s[:target] for s in seqs if len(s) >= target]
+        elif length_policy == "filter":
+            seqs = [s for s in seqs if len(s) == target]
+        else:
+            raise ValueError(length_policy)
+    buf = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    arr = buf.reshape(len(seqs), len(seqs[0]))
+    return encode_ascii(arr).astype(np.int8)
+
+
+def read_fastq(path: str, length_policy: str = "strict") -> np.ndarray:
+    """FASTQ(.gz) -> (N, L) int8 codes. Prefers the native C++ parser."""
+    try:
+        from sage2_tpu.io import native
+
+        if native.available():
+            return native.parse_fastq(path, length_policy)
+    except ImportError:
+        pass
+    with _open(path) as f:
+        return _to_array(_parse_fastq_py(f.read()), length_policy)
+
+
+def read_fasta(path: str, length_policy: str = "strict") -> np.ndarray:
+    with _open(path) as f:
+        return _to_array(_parse_fasta_py(f.read()), length_policy)
+
+
+def load_reads(
+    paths: Sequence[str], length_policy: str = "strict"
+) -> np.ndarray:
+    """Load and concatenate reads from FASTQ/FASTA files (gz ok)."""
+    parts = []
+    for p in paths:
+        base = p[:-3] if p.endswith(".gz") else p
+        if base.endswith((".fa", ".fasta", ".fna")):
+            parts.append(read_fasta(p, length_policy))
+        else:
+            parts.append(read_fastq(p, length_policy))
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.zeros((0, 0), np.int8)
+    L = {p.shape[1] for p in parts}
+    if len(L) > 1:
+        raise ValueError(f"input files have different read lengths: {L}")
+    return np.concatenate(parts, axis=0)

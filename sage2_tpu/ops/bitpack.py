@@ -92,8 +92,10 @@ def kmer_keys(reads: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     (..., L - k + 1). hi holds the first k-16 bases (0 if k <= 16), lo the
     last min(k, 16).
     """
-    if not 1 < k <= 31:
-        raise ValueError(f"k must be in (1, 31], got {k}")
+    # k = 32 is allowed here (used for overlap seeds); count tables
+    # restrict to k <= 31 so their SENTINEL stays unambiguous.
+    if not 1 < k <= 32:
+        raise ValueError(f"k must be in (1, 32], got {k}")
     win = _windows(reads, k)
     n_lo = min(k, 16)
     n_hi = k - n_lo

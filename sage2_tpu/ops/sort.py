@@ -123,6 +123,17 @@ def expand_by_counts(
     return group_c, rank, valid
 
 
+def words_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic a < b over the last (word) axis; any leading shape."""
+    W = a.shape[-1]
+    less = jnp.zeros(a.shape[:-1], bool)
+    eq = jnp.ones(a.shape[:-1], bool)
+    for j in range(W):
+        less = less | (eq & (a[..., j] < b[..., j]))
+        eq = eq & (a[..., j] == b[..., j])
+    return less
+
+
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int):
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 

@@ -1,0 +1,7 @@
+"""Overlap layer: read dedup + all-pairs exact suffix-prefix detection
+(SURVEY.md §2 "Overlap detector", §3.3 — the performance north star)."""
+
+from sage2_tpu.overlap.prepare import ReadSet, prepare_reads
+from sage2_tpu.overlap.detect import OverlapResult, find_overlaps
+
+__all__ = ["ReadSet", "prepare_reads", "OverlapResult", "find_overlaps"]

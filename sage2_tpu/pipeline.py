@@ -1,0 +1,190 @@
+"""Pipeline orchestration: stages 1-6 end to end (SURVEY.md §3.1).
+
+Mirrors the reference's main() flow — load -> count -> correct ->
+overlap -> graph -> traverse -> emit — with the TPU layering of
+SURVEY.md §1: everything from counting through unitig labeling is
+device-resident; host touches data only at ingest and contig emission.
+
+Stage artifacts: each stage writes an .npz + manifest entry under
+``outdir`` (SURVEY.md §5 "Checkpoint / resume"): corrected.npz,
+edges.npz, labels.npz, contigs.fasta, stats.json. ``resume_from``
+re-enters the pipeline at any stage, loading the previous artifact.
+Capacity overflow (static-shape escape hatch, SURVEY.md §7) retries the
+stage with doubled capacity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sage2_tpu.config import AssemblyConfig
+from sage2_tpu.graph.finish import (
+    build_unitig_graph,
+    emit_contigs,
+    join_paths,
+    pop_bubbles,
+    remove_tips,
+)
+from sage2_tpu.graph.reduce import transitive_reduction
+from sage2_tpu.graph.traverse import contract_unitigs
+from sage2_tpu.kmer import correct_reads, count_kmers
+from sage2_tpu.overlap import find_overlaps, prepare_reads
+from sage2_tpu.utils.metrics import MetricsLog
+from sage2_tpu.utils.stats import assembly_stats
+
+STAGES = ["correct", "overlap", "reduce", "traverse", "finish"]
+
+
+def _save(outdir: Optional[str], name: str, **arrays) -> None:
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        np.savez_compressed(os.path.join(outdir, name + ".npz"), **arrays)
+
+
+def _manifest(outdir: Optional[str], config: AssemblyConfig, stage: str) -> None:
+    if not outdir:
+        return
+    path = os.path.join(outdir, "manifest.json")
+    m = {"config": config.to_dict(), "config_digest": config.digest(),
+         "stages": []}
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+    if m.get("config_digest") != config.digest():
+        m = {"config": config.to_dict(), "config_digest": config.digest(),
+             "stages": []}
+    if stage not in m["stages"]:
+        m["stages"].append(stage)
+    with open(path, "w") as f:
+        json.dump(m, f, indent=1)
+
+
+def assemble(
+    reads: np.ndarray,
+    config: AssemblyConfig = AssemblyConfig(),
+    outdir: Optional[str] = None,
+    metrics: Optional[MetricsLog] = None,
+    resume_from: Optional[str] = None,
+) -> Tuple[List[np.ndarray], Dict[str, float]]:
+    """Assemble fixed-length reads (N, L) int codes -> (contigs, stats)."""
+    log = metrics or MetricsLog(
+        os.path.join(outdir, "metrics.jsonl") if outdir else None
+    )
+    N, L = reads.shape
+    start = STAGES.index(resume_from) if resume_from else 0
+
+    # --- stage 1+2: count + correct (SURVEY.md §3.2) -------------------
+    if start <= STAGES.index("correct"):
+        r = jnp.asarray(reads.astype(np.int32))
+        with log.timed("count", n_reads=N, read_len=L, k=config.k):
+            table = count_kmers(r, config.k)
+            table.hi.block_until_ready()
+        log.log("count_result", n_unique=int(table.n_unique))
+        with log.timed("correct", rounds=config.correction_rounds):
+            corrected = correct_reads(
+                r, config.k, config.solid_threshold, config.correction_rounds,
+                table=table,
+            )
+            corrected.block_until_ready()
+        corrected_np = np.asarray(corrected, dtype=np.int8)
+        _save(outdir, "corrected", reads=corrected_np)
+        _manifest(outdir, config, "correct")
+    else:
+        corrected_np = np.load(os.path.join(outdir, "corrected.npz"))["reads"]
+
+    # --- stage 3: dedup + overlaps (SURVEY.md §3.3) --------------------
+    if start <= STAGES.index("overlap"):
+        rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
+        cap = config.candidate_capacity
+        while True:
+            with log.timed("overlap", capacity=cap):
+                res = find_overlaps(
+                    rs.reads2, rs.valid2, config.min_overlap,
+                    config.effective_seed_len, capacity=cap,
+                )
+                res.src.block_until_ready()
+            if not bool(res.overflow):
+                break
+            cap *= 2
+            log.log("overlap_retry", new_capacity=cap)
+        log.log("overlap_result", n_edges=int(res.n_edges),
+                n_candidates=int(res.n_candidates),
+                n_unique_reads=int(rs.n_unique))
+        edges = (np.asarray(res.src), np.asarray(res.dst), np.asarray(res.ovl))
+        reads2_np = np.asarray(rs.reads2, dtype=np.int8)
+        valid2_np = np.asarray(rs.valid2)
+        mult_np = np.asarray(rs.multiplicity)
+        _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
+              n_edges=int(res.n_edges), reads2=reads2_np, valid2=valid2_np,
+              multiplicity=mult_np)
+        _manifest(outdir, config, "overlap")
+    else:
+        z = np.load(os.path.join(outdir, "edges.npz"))
+        edges = (z["src"], z["dst"], z["ovl"])
+        reads2_np, valid2_np, mult_np = z["reads2"], z["valid2"], z["multiplicity"]
+
+    V = reads2_np.shape[0]
+
+    # --- stage 4: transitive reduction (SURVEY.md §3.4) ----------------
+    if start <= STAGES.index("reduce"):
+        cap = config.reduce_capacity
+        while True:
+            with log.timed("reduce", capacity=cap):
+                red = transitive_reduction(
+                    jnp.asarray(edges[0]), jnp.asarray(edges[1]),
+                    jnp.asarray(edges[2]), V, L, capacity=cap,
+                )
+                red.src.block_until_ready()
+            if not bool(red.overflow):
+                break
+            cap *= 2
+            log.log("reduce_retry", new_capacity=cap)
+        log.log("reduce_result", n_edges=int(red.n_edges))
+        redges = (np.asarray(red.src), np.asarray(red.dst), np.asarray(red.ovl))
+        _save(outdir, "reduced", src=redges[0], dst=redges[1], ovl=redges[2])
+        _manifest(outdir, config, "reduce")
+    else:
+        z = np.load(os.path.join(outdir, "reduced.npz"))
+        redges = (z["src"], z["dst"], z["ovl"])
+
+    # --- stage 5: unitig labeling (SURVEY.md §3.5) ---------------------
+    if start <= STAGES.index("traverse"):
+        with log.timed("traverse"):
+            labels = contract_unitigs(
+                jnp.asarray(redges[0]), jnp.asarray(redges[1]),
+                jnp.asarray(redges[2]), V,
+            )
+            labels.head.block_until_ready()
+        lab = {k: np.asarray(v) for k, v in labels._asdict().items()}
+        _save(outdir, "labels", **lab)
+        _manifest(outdir, config, "traverse")
+    else:
+        lab = dict(np.load(os.path.join(outdir, "labels.npz")))
+
+    # --- stage 6: host finishing + emission ----------------------------
+    with log.timed("finish"):
+        g = build_unitig_graph(
+            lab["head"], lab["dist"], lab["ovl_next"], redges,
+            valid2_np, mult_np, L,
+        )
+        n_unitigs_raw = len(g.unitigs)
+        capn = V // 2
+        n_tips = remove_tips(g, capn, config.tip_max_reads)
+        n_bub = pop_bubbles(g, capn, config.bubble_max_reads, config.bubble_ratio)
+        paths = join_paths(g)
+        contigs = emit_contigs(g, paths, reads2_np, config)
+    stats = assembly_stats(contigs)
+    log.log("finish_result", n_unitigs=n_unitigs_raw, tips_removed=n_tips,
+            bubbles_popped=n_bub, **stats)
+    if outdir:
+        from sage2_tpu.io.writer import write_fasta
+        write_fasta(os.path.join(outdir, "contigs.fasta"), contigs)
+        with open(os.path.join(outdir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        _manifest(outdir, config, "finish")
+    return contigs, stats

@@ -1,0 +1,98 @@
+"""Overlap detection vs brute-force O(n^2) oracle (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sage2_tpu.data import simulate_genome, simulate_reads
+from sage2_tpu.overlap import find_overlaps, prepare_reads
+from sage2_tpu.refmodel.oracle import oracle_overlaps, revcomp
+
+
+def _canonical_set(reads):
+    out = set()
+    for r in reads:
+        f = tuple(int(c) for c in r)
+        rc = tuple(int(c) for c in revcomp(np.asarray(r)))
+        out.add(min(f, rc))
+    return out
+
+
+def _edges_to_dict(res):
+    n = int(res.n_edges)
+    src = np.asarray(res.src)[:n]
+    dst = np.asarray(res.dst)[:n]
+    ovl = np.asarray(res.ovl)[:n]
+    return {(int(a), int(b)): int(l) for a, b, l in zip(src, dst, ovl)}
+
+
+def test_prepare_reads_dedup(rng):
+    genome = simulate_genome(300, seed=11)
+    reads, _ = simulate_reads(genome, read_len=40, coverage=10, seed=12)
+    reads = reads.astype(np.int32)
+    # inject exact and RC duplicates
+    reads = np.concatenate(
+        [reads, reads[:3], (3 - reads[:2])[:, ::-1]], axis=0
+    )
+    rs = prepare_reads(jnp.asarray(reads))
+    n_u = int(rs.n_unique)
+    assert n_u == len(_canonical_set(reads))
+    mult = np.asarray(rs.multiplicity)
+    assert mult[:n_u].sum() == reads.shape[0]
+    # RC rows mirror forward rows
+    r2 = np.asarray(rs.reads2)
+    cap = rs.capacity
+    for i in range(n_u):
+        np.testing.assert_array_equal(r2[i + cap], revcomp(r2[i]))
+    # forward rows are canonical (<= their RC)
+    for i in range(n_u):
+        f = tuple(r2[i])
+        assert f <= tuple(revcomp(r2[i]))
+
+
+@pytest.mark.parametrize("min_overlap,err", [(20, 0.0), (25, 0.01)])
+def test_overlaps_match_oracle(min_overlap, err):
+    genome = simulate_genome(500, seed=21)
+    reads, _ = simulate_reads(
+        genome, read_len=40, coverage=12, error_rate=err, seed=22
+    )
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    res = find_overlaps(
+        rs.reads2, rs.valid2, min_overlap, seed_len=32, capacity=1 << 16
+    )
+    assert not bool(res.overflow)
+    got = _edges_to_dict(res)
+
+    n_u = int(rs.n_unique)
+    cap = rs.capacity
+    r2 = np.asarray(rs.reads2)
+    valid_rows = np.concatenate([r2[:n_u], r2[cap : cap + n_u]], axis=0)
+    expect_raw = oracle_overlaps(valid_rows, min_overlap)
+    # remap oracle indices (compacted) back to vertex ids (capacity space)
+    remap = lambda i: i if i < n_u else cap + (i - n_u)
+    expect = {(remap(a), remap(b)): l for (a, b), l in expect_raw.items()}
+    assert got == expect
+
+
+def test_overlap_edges_symmetric_under_rc():
+    genome = simulate_genome(400, seed=31)
+    reads, _ = simulate_reads(genome, read_len=36, coverage=10, seed=32)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    res = find_overlaps(rs.reads2, rs.valid2, 18, capacity=1 << 16)
+    edges = _edges_to_dict(res)
+    cap = rs.capacity
+    rc = lambda v: (v + cap) % (2 * cap)
+    for (a, b), l in edges.items():
+        assert edges.get((rc(b), rc(a))) == l, (a, b)
+
+
+def test_overflow_flag():
+    genome = simulate_genome(400, seed=31)
+    reads, _ = simulate_reads(genome, read_len=36, coverage=10, seed=32)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    big = find_overlaps(rs.reads2, rs.valid2, 18, capacity=1 << 16)
+    n_cand = int(big.n_candidates)
+    assert n_cand > 4
+    small = find_overlaps(rs.reads2, rs.valid2, 18, capacity=4)
+    assert bool(small.overflow)
+    assert int(small.n_candidates) == n_cand  # count is exact even on overflow
