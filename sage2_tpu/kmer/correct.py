@@ -29,13 +29,16 @@ from sage2_tpu.kmer.count import KmerTable, count_kmers, lookup_counts
 from sage2_tpu.ops import bitpack
 
 
-def _variant_counts_last(reads, table: KmerTable, k: int):
-    """Counts of the 4 last-base variants of every window: (N, P, 4)."""
+def variant_keys_last(reads, k: int):
+    """Canonical keys of the 4 last-base variants of every window.
+
+    Returns (ch, cl) of shape (4, N, P) and the current last bases (N, P).
+    """
     fh, fl = bitpack.kmer_keys(reads, k)
     rh, rl = bitpack.revcomp_kmer_keys(reads, k)
     P = reads.shape[-1] - k + 1
     cur = reads[..., k - 1 : k - 1 + P]  # last base of each window
-    outs = []
+    chs, cls = [], []
     for b in range(4):
         bb = jnp.full(cur.shape, b, cur.dtype)
         # forward key: edit base at k-mer position k-1
@@ -43,28 +46,40 @@ def _variant_counts_last(reads, table: KmerTable, k: int):
         # rc key: last fwd base is rc position 0 with complemented code
         vrh, vrl = bitpack.set_base(rh, rl, k, 0, 3 - cur, 3 - bb)
         ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
-        outs.append(lookup_counts(table, ch, cl))
-    return jnp.stack(outs, axis=-1), cur
+        chs.append(ch)
+        cls.append(cl)
+    return jnp.stack(chs), jnp.stack(cls), cur
 
 
-def _variant_counts_first(reads, table: KmerTable, k: int):
-    """Counts of the 4 first-base variants of every window: (N, P, 4)."""
+def variant_keys_first(reads, k: int):
+    """Canonical keys of the 4 first-base variants of every window."""
     fh, fl = bitpack.kmer_keys(reads, k)
     rh, rl = bitpack.revcomp_kmer_keys(reads, k)
     P = reads.shape[-1] - k + 1
     cur = reads[..., :P]  # first base of each window
-    outs = []
+    chs, cls = [], []
     for b in range(4):
         bb = jnp.full(cur.shape, b, cur.dtype)
         vfh, vfl = bitpack.set_base(fh, fl, k, 0, cur, bb)
         # first fwd base is rc position k-1 with complemented code
         vrh, vrl = bitpack.set_base(rh, rl, k, k - 1, 3 - cur, 3 - bb)
         ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
-        outs.append(lookup_counts(table, ch, cl))
-    return jnp.stack(outs, axis=-1), cur
+        chs.append(ch)
+        cls.append(cl)
+    return jnp.stack(chs), jnp.stack(cls), cur
 
 
-def _apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int):
+def _variant_counts_last(reads, table: KmerTable, k: int):
+    ch, cl, cur = variant_keys_last(reads, k)
+    return jnp.moveaxis(lookup_counts(table, ch, cl), 0, -1), cur
+
+
+def _variant_counts_first(reads, table: KmerTable, k: int):
+    ch, cl, cur = variant_keys_first(reads, k)
+    return jnp.moveaxis(lookup_counts(table, ch, cl), 0, -1), cur
+
+
+def apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int):
     """Apply the replacement rule; window w's verdict edits base
     w + base_pos_offset."""
     m = jnp.max(counts4, axis=-1)
@@ -97,7 +112,7 @@ def correct_reads(
     for r in range(rounds):
         t = table if (r == 0 and table is not None) else count_kmers(reads, k)
         counts4, cur = _variant_counts_last(reads, t, k)
-        reads = _apply_verdicts(reads, counts4, cur, k - 1, threshold)
+        reads = apply_verdicts(reads, counts4, cur, k - 1, threshold)
         counts4, cur = _variant_counts_first(reads, t, k)
-        reads = _apply_verdicts(reads, counts4, cur, 0, threshold)
+        reads = apply_verdicts(reads, counts4, cur, 0, threshold)
     return reads

@@ -51,8 +51,14 @@ def lex_searchsorted(
     if n == 0:
         return jnp.zeros(q_hi.shape, jnp.int32)
     steps = math.ceil(math.log2(n + 1)) + 1
-    lo_b = jnp.zeros(q_hi.shape, jnp.int32)
-    hi_b = jnp.full(q_hi.shape, n, jnp.int32)
+    # Derive the carry init from both operands so it inherits their
+    # device-varying axes under shard_map (a plain zeros init would make
+    # the fori_loop carry type mismatch inside sharded stages).
+    base = (q_hi ^ q_hi).astype(jnp.int32) + (
+        table_hi[0] ^ table_hi[0]
+    ).astype(jnp.int32)
+    lo_b = base
+    hi_b = base + jnp.int32(n)
 
     if side == "left":
         # go right while table[mid] < query

@@ -1,0 +1,16 @@
+"""Multi-device parallelism: mesh construction and sharded pipeline stages
+(SURVEY.md §2 parallelism table, §5 "Distributed communication backend")."""
+
+from sage2_tpu.parallel.mesh import make_mesh
+from sage2_tpu.parallel.sharded import (
+    sharded_count_kmers,
+    sharded_correct_reads,
+    sharded_find_overlaps,
+)
+
+__all__ = [
+    "make_mesh",
+    "sharded_count_kmers",
+    "sharded_correct_reads",
+    "sharded_find_overlaps",
+]

@@ -1,0 +1,379 @@
+"""Sharded pipeline stages over a device mesh.
+
+This is the rebuild of SAGE2's MPI runtime (SURVEY.md §2 "Parallel
+runtime"): reads are sharded over the mesh's data axis (DP analog); the
+k-mer space is hash-partitioned so each device owns a slice of the
+global count table (the reference's "k-mer space partitioned by hash
+across ranks" — its tensor-parallel analog); and all cross-device
+movement is three collective patterns inside shard_map:
+
+  * bucketed all-to-all — route k-mers / count queries / overlap seeds
+    to their owner device (replaces MPI point-to-point exchange);
+  * psum — global histograms and overflow flags;
+  * all_gather — small replicated results (edge lists, merged tables).
+
+Static shapes everywhere: routing uses fixed per-destination capacities
+with exact overflow detection (SURVEY.md §7 "Hard parts"); callers retry
+with larger capacities on overflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from sage2_tpu.kmer.count import KmerTable, count_from_keys, lookup_counts
+from sage2_tpu.kmer.correct import (
+    apply_verdicts,
+    variant_keys_first,
+    variant_keys_last,
+)
+from sage2_tpu.ops import bitpack
+from sage2_tpu.ops.sort import expand_by_counts, lex_searchsorted, sort_by_keys
+
+_U32_MAX = jnp.uint32(0xFFFFFFFF)
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _owner(hi: jnp.ndarray, lo: jnp.ndarray, ndev: int) -> jnp.ndarray:
+    """Deterministic hash-partition of k-mer keys across devices.
+
+    Canonical keys are lexicographically biased low, so range-partition
+    would imbalance; a multiplicative mix spreads them uniformly.
+    """
+    h = hi * jnp.uint32(0x9E3779B1) + lo * jnp.uint32(0x85EBCA77)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    return (h % jnp.uint32(ndev)).astype(jnp.int32)
+
+
+class _Routed(NamedTuple):
+    """Result of routing values to owner devices via all-to-all."""
+
+    recv: Tuple[jnp.ndarray, ...]   # each (ndev, cap) received values
+    recv_valid: jnp.ndarray         # (ndev, cap)
+    dest: jnp.ndarray               # (Q,) destination of each local input
+    rank: jnp.ndarray               # (Q,) slot rank of each local input
+    sent_ok: jnp.ndarray            # (Q,) input made it into the buffer
+    overflow: jnp.ndarray           # scalar bool (local; psum outside)
+
+
+def _route(axis: str, owner: jnp.ndarray, valid: jnp.ndarray,
+           values: Tuple[jnp.ndarray, ...], cap: int, ndev: int) -> _Routed:
+    """All-to-all route each input to its owner device.
+
+    Inputs are 1-D of length Q. The send buffer is (ndev, cap); inputs
+    beyond an owner's capacity are dropped (overflow flagged). Answers
+    can be routed back with _route_back using (dest, rank).
+    """
+    Q = owner.shape[0]
+    own = jnp.where(valid, owner, ndev)
+    idx = jnp.arange(Q, dtype=jnp.int32)
+    s_own, s_idx = sort_by_keys([own], [idx])
+    start = jnp.searchsorted(
+        s_own, jnp.arange(ndev, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    pos = jnp.arange(Q, dtype=jnp.int32)
+    rank_sorted = pos - start[jnp.minimum(s_own, ndev - 1)]
+    ok_sorted = (s_own < ndev) & (rank_sorted < cap)
+    slot_sorted = jnp.where(
+        ok_sorted, s_own * cap + rank_sorted, ndev * cap
+    )
+    # per-input dest/rank in original order
+    dest = jnp.zeros(Q, jnp.int32).at[s_idx].set(jnp.minimum(s_own, ndev - 1))
+    rank = jnp.zeros(Q, jnp.int32).at[s_idx].set(rank_sorted)
+    sent_ok = jnp.zeros(Q, bool).at[s_idx].set(ok_sorted)
+    overflow = jnp.any((s_own < ndev) & ~ok_sorted)
+
+    send_valid = (
+        jnp.zeros(ndev * cap + 1, bool).at[slot_sorted].set(ok_sorted)[:-1]
+    )
+    recvs = []
+    for v in values:
+        sv = v[s_idx]
+        buf = jnp.zeros(ndev * cap + 1, v.dtype).at[slot_sorted].set(
+            jnp.where(ok_sorted, sv, jnp.zeros((), v.dtype))
+        )[:-1]
+        recvs.append(
+            jax.lax.all_to_all(
+                buf.reshape(ndev, cap), axis, 0, 0, tiled=True
+            )
+        )
+    recv_valid = jax.lax.all_to_all(
+        send_valid.reshape(ndev, cap), axis, 0, 0, tiled=True
+    )
+    return _Routed(tuple(recvs), recv_valid, dest, rank, sent_ok, overflow)
+
+
+def _route_back(axis: str, answers: jnp.ndarray, routed: _Routed) -> jnp.ndarray:
+    """Return per-owner answers (ndev, cap) to the senders; gather each
+    original input's answer (0 where the input was dropped)."""
+    back = jax.lax.all_to_all(answers, axis, 0, 0, tiled=True)
+    ans = back[routed.dest, routed.rank]
+    return jnp.where(routed.sent_ok, ans, jnp.zeros((), answers.dtype))
+
+
+# --------------------------------------------------------------------------
+# sharded k-mer counting
+# --------------------------------------------------------------------------
+
+
+def _local_count_owned(axis: str, hi, lo, valid, k: int, cap: int, ndev: int):
+    """Route canonical keys to owners; owner builds its local sorted table."""
+    routed = _route(axis, _owner(hi, lo, ndev), valid, (hi, lo), cap, ndev)
+    r_hi, r_lo = routed.recv
+    table = count_from_keys(
+        r_hi.reshape(-1), r_lo.reshape(-1), k,
+        valid=routed.recv_valid.reshape(-1),
+    )
+    overflow = jax.lax.psum(routed.overflow.astype(jnp.int32), axis) > 0
+    return table, overflow
+
+
+def _sharded_lookup(axis: str, table: KmerTable, q_hi, q_lo, cap: int,
+                    ndev: int):
+    """Distributed count lookup: route queries to owners, answer, return."""
+    shape = q_hi.shape
+    fh = q_hi.reshape(-1)
+    fl = q_lo.reshape(-1)
+    routed = _route(
+        axis, _owner(fh, fl, ndev), jnp.ones(fh.shape, bool), (fh, fl),
+        cap, ndev,
+    )
+    r_hi, r_lo = routed.recv
+    ans = lookup_counts(table, r_hi, r_lo)
+    ans = jnp.where(routed.recv_valid, ans, 0)
+    counts = _route_back(axis, ans, routed)
+    overflow = jax.lax.psum(routed.overflow.astype(jnp.int32), axis) > 0
+    return counts.reshape(shape), overflow
+
+
+def sharded_count_kmers(
+    mesh: Mesh, reads: jnp.ndarray, k: int, route_cap: int
+) -> Tuple[KmerTable, jnp.ndarray]:
+    """Count canonical k-mers of reads sharded over the mesh data axis.
+
+    Returns (table, overflow): ``table`` arrays are sharded over the data
+    axis — device d holds the slice of the hash-partitioned global table
+    it owns (stacked along a leading mesh axis).
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis), P()),
+    )
+    def run(reads_local):
+        hi, lo = bitpack.canonical_kmer_keys(reads_local, k)
+        table, overflow = _local_count_owned(
+            axis, hi.reshape(-1), lo.reshape(-1),
+            jnp.ones(hi.size, bool), k, route_cap, ndev,
+        )
+        return (
+            table.hi[None], table.lo[None], table.count[None],
+            table.n_unique[None], overflow,
+        )
+
+    hi, lo, count, n_unique, overflow = run(reads)
+    return KmerTable(hi, lo, count, n_unique, k), overflow
+
+
+def sharded_correct_reads(
+    mesh: Mesh,
+    reads: jnp.ndarray,
+    k: int,
+    threshold: int,
+    rounds: int,
+    route_cap: int,
+    query_cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed spectrum correction: reads stay sharded; every count
+    probe is a routed query against the hash-partitioned table.
+
+    Semantics identical to kmer.correct_reads (same verdict rule and pass
+    order) — tested for equality against the single-device path.
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P()),
+    )
+    def run(reads_local):
+        r = reads_local
+        any_overflow = jnp.zeros((), bool)
+        for _ in range(rounds):
+            hi, lo = bitpack.canonical_kmer_keys(r, k)
+            table, ovf = _local_count_owned(
+                axis, hi.reshape(-1), lo.reshape(-1),
+                jnp.ones(hi.size, bool), k, route_cap, ndev,
+            )
+            any_overflow |= ovf
+            for which in ("last", "first"):
+                if which == "last":
+                    ch, cl, cur = variant_keys_last(r, k)
+                    off = k - 1
+                else:
+                    ch, cl, cur = variant_keys_first(r, k)
+                    off = 0
+                counts, ovf = _sharded_lookup(
+                    axis, table, ch, cl, query_cap, ndev
+                )
+                any_overflow |= ovf
+                counts4 = jnp.moveaxis(counts, 0, -1)
+                r = apply_verdicts(r, counts4, cur, off, threshold)
+        return r, any_overflow
+
+    return run(reads)
+
+
+# --------------------------------------------------------------------------
+# sharded overlap detection
+# --------------------------------------------------------------------------
+
+
+def sharded_find_overlaps(
+    mesh: Mesh,
+    reads2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    min_overlap: int,
+    seed_len: int,
+    route_cap: int,
+    join_cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Distributed suffix-prefix overlap detection.
+
+    Seeds are hash-routed so each device owns a slice of the global seed
+    index and joins the queries that land on it; extension verifies
+    against an all-gathered read replica (fine for per-host read counts;
+    streamed verification is the planned upgrade for table-scale inputs).
+    Returns (src, dst, ovl, n_edges, overflow): the edge list is
+    replicated, sorted by (src, dst), one row per surviving pair per
+    owner-slot; global longest-per-pair reduction runs on the gathered
+    result.
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    M, L = reads2.shape
+    s = min(seed_len, min_overlap, 32)
+    shard = M // ndev
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(reads_local, valid_local):
+        m_local = reads_local.shape[0]
+        dev = jax.lax.axis_index(axis)
+        base = dev * m_local
+        all_reads = jax.lax.all_gather(reads_local, axis, tiled=True)
+
+        hi, lo = bitpack.kmer_keys(reads_local, s)
+        pa = L - min_overlap
+        a_hi = hi[:, 1 : pa + 1].reshape(-1)
+        a_lo = lo[:, 1 : pa + 1].reshape(-1)
+        a_read = (
+            base
+            + jnp.broadcast_to(
+                jnp.arange(m_local, dtype=jnp.int32)[:, None], (m_local, pa)
+            )
+        ).reshape(-1)
+        a_pos = jnp.broadcast_to(
+            jnp.arange(1, pa + 1, dtype=jnp.int32)[None, :], (m_local, pa)
+        ).reshape(-1)
+        a_val = jnp.broadcast_to(valid_local[:, None], (m_local, pa)).reshape(-1)
+
+        # route A-side seed entries to owners; owner sorts its slice
+        routed_a = _route(
+            axis, _owner(a_hi, a_lo, ndev), a_val,
+            (a_hi, a_lo, a_read, a_pos), route_cap, ndev,
+        )
+        t_hi, t_lo, t_read, t_pos = (x.reshape(-1) for x in routed_a.recv)
+        t_val = routed_a.recv_valid.reshape(-1)
+        t_hi = jnp.where(t_val, t_hi, _U32_MAX)
+        t_lo = jnp.where(t_val, t_lo, _U32_MAX)
+        t_hi, t_lo, t_read, t_pos, t_vi = sort_by_keys(
+            [t_hi, t_lo, t_read, t_pos], [t_val.astype(jnp.int32)]
+        )
+
+        # route B-side prefix-seed queries to the same owners
+        q_hi, q_lo = hi[:, 0], lo[:, 0]
+        q_read = base + jnp.arange(m_local, dtype=jnp.int32)
+        routed_q = _route(
+            axis, _owner(q_hi, q_lo, ndev), valid_local,
+            (q_hi, q_lo, q_read), route_cap, ndev,
+        )
+        r_hi, r_lo, r_read = (x.reshape(-1) for x in routed_q.recv)
+        r_val = routed_q.recv_valid.reshape(-1)
+
+        lo_idx = lex_searchsorted(t_hi, t_lo, r_hi, r_lo, side="left")
+        hi_idx = lex_searchsorted(t_hi, t_lo, r_hi, r_lo, side="right")
+        counts = jnp.where(r_val, hi_idx - lo_idx, 0)
+        n_cand = jnp.sum(counts)
+        join_overflow = n_cand > join_cap
+
+        b_idx, rank, cand_valid = expand_by_counts(counts, join_cap)
+        a_entry = jnp.minimum(lo_idx[b_idx] + rank, t_hi.shape[0] - 1)
+        cand_a = t_read[a_entry]
+        cand_p = t_pos[a_entry]
+        cand_b = r_read[b_idx]
+        cand_valid = (
+            cand_valid & (t_vi[a_entry] == 1) & (cand_a != cand_b)
+        )
+
+        ovl = L - cand_p
+        a_rows = all_reads[jnp.clip(cand_a, 0, M - 1)]
+        b_rows = all_reads[jnp.clip(cand_b, 0, M - 1)]
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        a_shift = jnp.take_along_axis(
+            a_rows, jnp.minimum(cand_p[:, None] + j, L - 1), axis=1
+        )
+        eq = (a_shift == b_rows) | (j >= ovl[:, None])
+        ok = jnp.all(eq, axis=1) & cand_valid
+
+        # local longest-per-pair reduction (all candidates of a given dst
+        # land on one owner, so the reduction is complete locally)
+        e_src = jnp.where(ok, cand_a, _I32_MAX)
+        e_dst = jnp.where(ok, cand_b, _I32_MAX)
+        e_ovl = jnp.where(ok, ovl, 0)
+        e_src, e_dst, e_ovl = sort_by_keys([e_src, e_dst, e_ovl])
+        nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), _I32_MAX)])
+        nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
+        keep = ((e_src != nxt_src) | (e_dst != nxt_dst)) & (e_src != _I32_MAX)
+        e_src = jnp.where(keep, e_src, _I32_MAX)
+        e_dst = jnp.where(keep, e_dst, _I32_MAX)
+        e_ovl = jnp.where(keep, e_ovl, 0)
+        n_local = jnp.sum(keep.astype(jnp.int32))
+
+        # gather + global sort for a replicated deterministic edge list
+        g_src = jax.lax.all_gather(e_src, axis, tiled=True)
+        g_dst = jax.lax.all_gather(e_dst, axis, tiled=True)
+        g_ovl = jax.lax.all_gather(e_ovl, axis, tiled=True)
+        g_src, g_dst, g_ovl = sort_by_keys([g_src, g_dst, g_ovl])
+        n_edges = jax.lax.psum(n_local, axis)
+        overflow = (
+            jax.lax.psum(
+                (routed_a.overflow | routed_q.overflow | join_overflow)
+                .astype(jnp.int32),
+                axis,
+            )
+            > 0
+        )
+        return g_src, g_dst, g_ovl, n_edges, overflow
+
+    return run(reads2, valid2)

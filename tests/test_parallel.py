@@ -1,0 +1,109 @@
+"""Sharded stages on a virtual 8-device CPU mesh vs single-device results
+(SURVEY.md §4 "Distributed tests without a cluster")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sage2_tpu.data import simulate_genome, simulate_reads
+from sage2_tpu.kmer import correct_reads, count_kmers
+from sage2_tpu.overlap import find_overlaps, prepare_reads
+from sage2_tpu.parallel import (
+    make_mesh,
+    sharded_correct_reads,
+    sharded_count_kmers,
+    sharded_find_overlaps,
+)
+
+_I32_MAX = 2**31 - 1
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _reads(seed=201, n=128, L=40, err=0.01):
+    genome = simulate_genome(800, seed=seed)
+    reads, _ = simulate_reads(
+        genome, read_len=L, coverage=n * L / 800, error_rate=err, seed=seed + 1
+    )
+    return reads[:n].astype(np.int32)
+
+
+def _table_dict(table):
+    out = {}
+    hi = np.asarray(table.hi).reshape(-1)
+    lo = np.asarray(table.lo).reshape(-1)
+    ct = np.asarray(table.count).reshape(-1)
+    for h, l, c in zip(hi, lo, ct):
+        if c > 0:
+            out[(int(h), int(l))] = out.get((int(h), int(l)), 0) + int(c)
+    return out
+
+
+def test_sharded_count_matches_single(mesh):
+    reads = _reads()
+    k = 15
+    single = count_kmers(jnp.asarray(reads), k)
+    table, overflow = sharded_count_kmers(
+        mesh, jnp.asarray(reads), k, route_cap=4096
+    )
+    assert not bool(overflow)
+    assert _table_dict(table) == _table_dict(single)
+    # per-device tables partition the key space (no key on two devices)
+    hi = np.asarray(table.hi)
+    lo = np.asarray(table.lo)
+    ct = np.asarray(table.count)
+    seen = set()
+    for d in range(hi.shape[0]):
+        for h, l, c in zip(hi[d], lo[d], ct[d]):
+            if c > 0:
+                assert (h, l) not in seen
+                seen.add((h, l))
+
+
+def test_sharded_count_overflow(mesh):
+    reads = _reads()
+    _, overflow = sharded_count_kmers(mesh, jnp.asarray(reads), 15, route_cap=8)
+    assert bool(overflow)
+
+
+def test_sharded_correct_matches_single(mesh):
+    reads = _reads(seed=211, err=0.02)
+    k, thr, rounds = 11, 3, 2
+    single = np.asarray(correct_reads(jnp.asarray(reads), k, thr, rounds))
+    out, overflow = sharded_correct_reads(
+        mesh, jnp.asarray(reads), k, thr, rounds,
+        route_cap=4096, query_cap=4096,
+    )
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(out), single)
+
+
+def _edge_set(src, dst, ovl):
+    return {
+        (int(a), int(b), int(o))
+        for a, b, o in zip(src, dst, ovl)
+        if int(a) != _I32_MAX
+    }
+
+
+def test_sharded_overlaps_match_single(mesh):
+    reads = _reads(seed=221, err=0.0)
+    rs = prepare_reads(jnp.asarray(reads))
+    single = find_overlaps(rs.reads2, rs.valid2, 20, capacity=1 << 15)
+    assert not bool(single.overflow)
+    src, dst, ovl, n_edges, overflow = sharded_find_overlaps(
+        mesh, rs.reads2, rs.valid2, 20, seed_len=32,
+        route_cap=1 << 12, join_cap=1 << 13,
+    )
+    assert not bool(overflow)
+    got = _edge_set(np.asarray(src), np.asarray(dst), np.asarray(ovl))
+    expect = _edge_set(
+        np.asarray(single.src), np.asarray(single.dst), np.asarray(single.ovl)
+    )
+    assert got == expect
+    assert int(n_edges) == int(single.n_edges)
