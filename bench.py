@@ -1,0 +1,146 @@
+"""Benchmark harness: per-chip overlap-detection throughput vs the
+single-threaded C++ baseline.
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Metric (BASELINE.md "Primary metrics"): reads/s of exact suffix-prefix
+overlap detection (SURVEY.md §3.3 HOT LOOP #3 — the reference's dominant
+cost and the >=10x-per-chip north star). The baseline is the honest
+single-threaded C++ implementation in csrc/baseline_cpu.cpp (prefix-seed
+hash index + memcmp extension) because the reference mount was empty
+(SURVEY.md §0/§6). Correctness is cross-checked: the device kernel and
+the baseline must report identical verified-overlap counts.
+
+Env knobs: SAGE2_BENCH_READS (default 100000), SAGE2_BENCH_READLEN (100),
+SAGE2_BENCH_MINOVL (40), SAGE2_BENCH_REPEATS (3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    n_reads = int(os.environ.get("SAGE2_BENCH_READS", 100_000))
+    read_len = int(os.environ.get("SAGE2_BENCH_READLEN", 100))
+    min_ovl = int(os.environ.get("SAGE2_BENCH_MINOVL", 40))
+    repeats = int(os.environ.get("SAGE2_BENCH_REPEATS", 3))
+    coverage = 45.0
+    genome_len = int(n_reads * read_len / coverage)
+
+    # persistent compilation cache: later rounds skip the slow compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log("compilation cache unavailable:", e)
+
+    import jax.numpy as jnp
+
+    from sage2_tpu.data import simulate_genome, simulate_reads
+    from sage2_tpu.io import native
+    from sage2_tpu.overlap import find_overlaps
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    log(f"input: {n_reads} reads x {read_len} bp, min_overlap={min_ovl}, "
+        f"genome {genome_len} bp (~{coverage}x)")
+
+    genome = simulate_genome(genome_len, seed=7)
+    reads, _ = simulate_reads(
+        genome, read_len=read_len, coverage=coverage,
+        error_rate=0.005, seed=8,
+    )
+    reads = reads[:n_reads]
+    n_reads = reads.shape[0]
+
+    # ---- single-threaded C++ baseline --------------------------------
+    bb = native.baseline_binary()
+    base_secs = None
+    base_verified = None
+    if bb:
+        with tempfile.TemporaryDirectory() as d:
+            raw = os.path.join(d, "reads.bin")
+            reads.astype(np.int8).tofile(raw)
+            r = subprocess.run(
+                [bb, "overlap", raw, str(n_reads), str(read_len),
+                 str(min_ovl)],
+                capture_output=True, text=True, timeout=3600,
+            )
+        if r.returncode == 0:
+            base_verified, base_secs = r.stdout.split()
+            base_verified, base_secs = int(base_verified), float(base_secs)
+            log(f"baseline (1 CPU thread): {base_secs:.3f}s, "
+                f"{n_reads/base_secs:.0f} reads/s, "
+                f"{base_verified} verified overlaps")
+        else:
+            log("baseline failed:", r.stderr[:300])
+    else:
+        log("baseline binary unavailable")
+
+    # ---- device kernel ------------------------------------------------
+    capacity = 1 << 24
+    r_dev = jnp.asarray(reads.astype(np.int32))
+    valid = jnp.ones(n_reads, bool)
+
+    def run():
+        res = find_overlaps(r_dev, valid, min_ovl, seed_len=32,
+                            capacity=capacity)
+        return res
+
+    t0 = time.perf_counter()
+    res = run()
+    res.src.block_until_ready()
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+    if bool(res.overflow):
+        log(f"capacity overflow (n_candidates={int(res.n_candidates)}); "
+            "increase capacity")
+        capacity = 1 << 26
+        res = run()
+        res.src.block_until_ready()
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = run()
+        res.src.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dev_secs = min(times)
+    dev_verified = int(res.n_verified)
+    log(f"device: {dev_secs:.3f}s best of {repeats}, "
+        f"{n_reads/dev_secs:.0f} reads/s, {dev_verified} verified overlaps")
+
+    if base_verified is not None and base_verified != dev_verified:
+        log(f"MISMATCH: baseline {base_verified} != device {dev_verified}")
+
+    value = n_reads / dev_secs
+    vs = (value / (n_reads / base_secs)) if base_secs else None
+    print(json.dumps({
+        "metric": "overlap_detection_reads_per_s_per_chip",
+        "value": round(value, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,242 @@
+"""Command-line interface (SURVEY.md §2 "CLI/flags", L7).
+
+Subcommands mirror the standalone configs of BASELINE.json:
+
+  assemble  — full pipeline: reads -> contigs (config #1)
+  correct   — k-mer counting + spectrum correction only (config #2)
+  overlap   — overlap graph (+ optional transitive reduction) (config #3)
+  simulate  — generate synthetic genome + reads (no-network stand-in)
+  stats     — N50 etc. of a contig FASTA
+
+Example:
+  python -m sage2_tpu assemble -o out/ --k 25 --min-overlap 40 reads.fastq.gz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--k", type=int, default=25, help="k-mer length (<=31)")
+    p.add_argument("--min-overlap", type=int, default=40)
+    p.add_argument("--solid-threshold", type=int, default=2)
+    p.add_argument("--correction-rounds", type=int, default=2)
+    p.add_argument("--min-contig-len", type=int, default=200)
+    p.add_argument("--traversal", choices=["unitig", "mincost"],
+                   default="mincost")
+    p.add_argument("--candidate-capacity", type=int, default=1 << 20)
+    p.add_argument("--reduce-capacity", type=int, default=1 << 20)
+    p.add_argument("--length-policy", choices=["strict", "trim", "filter"],
+                   default="strict",
+                   help="how to handle mixed read lengths at ingest")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu, axon)")
+
+
+def _config(args) -> "AssemblyConfig":
+    from sage2_tpu.config import AssemblyConfig
+
+    return AssemblyConfig(
+        k=args.k,
+        min_overlap=args.min_overlap,
+        solid_threshold=args.solid_threshold,
+        correction_rounds=args.correction_rounds,
+        min_contig_len=args.min_contig_len,
+        traversal=args.traversal,
+        candidate_capacity=args.candidate_capacity,
+        reduce_capacity=args.reduce_capacity,
+    )
+
+
+def _setup_platform(args) -> None:
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="sage2_tpu",
+        description="TPU-native overlap-graph assembler (SAGE2 method)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("assemble", help="full pipeline: reads -> contigs")
+    _add_common(p)
+    p.add_argument("-o", "--outdir", required=True)
+    p.add_argument("--resume-from",
+                   choices=["correct", "overlap", "reduce", "traverse",
+                            "finish"])
+    p.add_argument("reads", nargs="+", help="FASTQ/FASTA files (gz ok)")
+
+    p = sub.add_parser("correct", help="count + spectrum-correct only")
+    _add_common(p)
+    p.add_argument("-o", "--output", required=True,
+                   help="corrected reads FASTA (.gz ok)")
+    p.add_argument("reads", nargs="+")
+
+    p = sub.add_parser("overlap", help="overlap graph (+ reduction)")
+    _add_common(p)
+    p.add_argument("-o", "--output", required=True, help="edge TSV output")
+    p.add_argument("--no-reduce", action="store_true",
+                   help="skip transitive reduction")
+    p.add_argument("--no-correct", action="store_true",
+                   help="skip error correction")
+    p.add_argument("reads", nargs="+")
+
+    p = sub.add_parser("simulate", help="synthetic genome + reads")
+    p.add_argument("-o", "--output", required=True, help="FASTQ out (.gz ok)")
+    p.add_argument("--genome-out", help="also write the genome FASTA")
+    p.add_argument("--genome-len", type=int, default=100_000)
+    p.add_argument("--read-len", type=int, default=100)
+    p.add_argument("--coverage", type=float, default=40.0)
+    p.add_argument("--error-rate", type=float, default=0.005)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--circular", action="store_true")
+
+    p = sub.add_parser("stats", help="assembly stats of a FASTA")
+    p.add_argument("fasta")
+    p.add_argument("--genome", help="genome FASTA for genome-fraction")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "simulate":
+        from sage2_tpu.data import simulate_genome, simulate_reads, write_fastq
+        from sage2_tpu.io.writer import write_fasta
+
+        genome = simulate_genome(args.genome_len, seed=args.seed)
+        reads, _ = simulate_reads(
+            genome, read_len=args.read_len, coverage=args.coverage,
+            error_rate=args.error_rate, seed=args.seed + 1,
+            circular=args.circular,
+        )
+        write_fastq(args.output, reads)
+        if args.genome_out:
+            write_fasta(args.genome_out, [genome.astype(np.int8)],
+                        prefix="genome")
+        print(f"wrote {reads.shape[0]} reads x {args.read_len} bp "
+              f"to {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "stats":
+        from sage2_tpu.io import read_fasta
+        from sage2_tpu.utils.stats import assembly_stats
+
+        contigs = [c for c in read_fasta(args.fasta, length_policy="filter")]
+        # read_fasta returns uniform-length arrays; re-read raw for stats
+        contigs = _read_fasta_ragged(args.fasta)
+        genome = None
+        if args.genome:
+            g = _read_fasta_ragged(args.genome)
+            genome = g[0] if g else None
+        print(json.dumps(assembly_stats(contigs, genome), indent=1))
+        return 0
+
+    _setup_platform(args)
+    from sage2_tpu.io import load_reads
+
+    reads = load_reads(args.reads, length_policy=args.length_policy)
+    if reads.size == 0:
+        print("no reads loaded", file=sys.stderr)
+        return 1
+    cfg = _config(args)
+
+    if args.cmd == "assemble":
+        from sage2_tpu.pipeline import assemble
+
+        contigs, stats = assemble(
+            reads, cfg, outdir=args.outdir,
+            resume_from=getattr(args, "resume_from", None),
+        )
+        print(json.dumps(stats, indent=1))
+        return 0
+
+    if args.cmd == "correct":
+        import jax.numpy as jnp
+
+        from sage2_tpu.io.writer import write_fasta
+        from sage2_tpu.kmer import correct_reads
+
+        corrected = np.asarray(
+            correct_reads(
+                jnp.asarray(reads.astype(np.int32)), cfg.k,
+                cfg.solid_threshold, cfg.correction_rounds,
+            ),
+            dtype=np.int8,
+        )
+        write_fasta(args.output, list(corrected), prefix="read")
+        print(f"wrote {corrected.shape[0]} corrected reads", file=sys.stderr)
+        return 0
+
+    if args.cmd == "overlap":
+        import jax.numpy as jnp
+
+        from sage2_tpu.graph.reduce import transitive_reduction
+        from sage2_tpu.kmer import correct_reads
+        from sage2_tpu.overlap import find_overlaps, prepare_reads
+
+        r = jnp.asarray(reads.astype(np.int32))
+        if not args.no_correct:
+            r = correct_reads(r, cfg.k, cfg.solid_threshold,
+                              cfg.correction_rounds)
+        rs = prepare_reads(r)
+        res = find_overlaps(
+            rs.reads2, rs.valid2, cfg.min_overlap,
+            cfg.effective_seed_len, capacity=cfg.candidate_capacity,
+        )
+        if bool(res.overflow):
+            print("candidate capacity overflow; raise --candidate-capacity",
+                  file=sys.stderr)
+            return 2
+        src, dst, ovl = res.src, res.dst, res.ovl
+        if not args.no_reduce:
+            red = transitive_reduction(
+                src, dst, ovl, rs.reads2.shape[0], reads.shape[1],
+                capacity=cfg.reduce_capacity,
+            )
+            src, dst, ovl = red.src, red.dst, red.ovl
+        src, dst, ovl = np.asarray(src), np.asarray(dst), np.asarray(ovl)
+        with open(args.output, "w") as f:
+            f.write("#src\tdst\toverlap\n")
+            for a, b, o in zip(src, dst, ovl):
+                if a != 2**31 - 1:
+                    f.write(f"{a}\t{b}\t{o}\n")
+        print(f"wrote edges to {args.output}", file=sys.stderr)
+        return 0
+
+    return 1
+
+
+def _read_fasta_ragged(path: str) -> List[np.ndarray]:
+    import gzip
+
+    from sage2_tpu.ops.bitpack import encode_ascii
+
+    opener = gzip.open if path.endswith(".gz") else open
+    seqs, cur = [], []
+    with opener(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(b">"):
+                if cur:
+                    seqs.append(b"".join(cur))
+                    cur = []
+            elif line:
+                cur.append(line)
+    if cur:
+        seqs.append(b"".join(cur))
+    return [
+        encode_ascii(np.frombuffer(s, dtype=np.uint8)).astype(np.int8)
+        for s in seqs
+    ]
+
+
+if __name__ == "__main__":
+    sys.exit(main())

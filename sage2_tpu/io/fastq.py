@@ -71,7 +71,10 @@ def _to_array(
                 f"mixed read lengths {sorted(lens)}; use length_policy="
                 "'trim' or 'filter'"
             )
-        target = lens.most_common(1)[0][0]
+        # dominant length; ties broken toward the smaller length (same
+        # rule as the native parser)
+        max_count = max(lens.values())
+        target = min(l for l, c in lens.items() if c == max_count)
         if length_policy == "trim":
             seqs = [s[:target] for s in seqs if len(s) >= target]
         elif length_policy == "filter":

@@ -56,7 +56,53 @@ class OverlapResult(NamedTuple):
     ovl: jnp.ndarray
     n_edges: jnp.ndarray
     n_candidates: jnp.ndarray
+    n_verified: jnp.ndarray
     overflow: jnp.ndarray
+
+
+def verify_candidates(
+    reads2: jnp.ndarray,
+    cand_a: jnp.ndarray,
+    cand_p: jnp.ndarray,
+    cand_b: jnp.ndarray,
+    chunk: int = 1 << 16,
+) -> jnp.ndarray:
+    """Exact-extension check: reads2[a][p:] == reads2[b][:L-p] elementwise.
+
+    Chunked with lax.map so peak memory is O(chunk * L) int8 instead of
+    O(capacity * L) int32 — the unchunked form OOMs HBM at production
+    capacities. (The Pallas word-packed variant in ops/pallas replaces
+    this on the hot path.)
+    """
+    M, L = reads2.shape
+    r8 = reads2.astype(jnp.int8)
+    C = cand_a.shape[0]
+    n_chunks = -(-C // chunk)
+    pad = n_chunks * chunk - C
+
+    def pad_to(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,), fill, x.dtype)]
+        ) if pad else x
+
+    ca = pad_to(cand_a, 0).reshape(n_chunks, chunk)
+    cp = pad_to(cand_p, L - 1).reshape(n_chunks, chunk)
+    cb = pad_to(cand_b, 0).reshape(n_chunks, chunk)
+
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def body(xs):
+        a, p, b = xs
+        a_rows = r8[jnp.clip(a, 0, M - 1)]
+        b_rows = r8[jnp.clip(b, 0, M - 1)]
+        a_shift = jnp.take_along_axis(
+            a_rows, jnp.minimum(p[:, None] + j, L - 1), axis=1
+        )
+        eq = (a_shift == b_rows) | (j >= (L - p)[:, None])
+        return jnp.all(eq, axis=1)
+
+    ok = jax.lax.map(body, (ca, cp, cb)).reshape(-1)
+    return ok[:C]
 
 
 def find_overlaps(
@@ -116,14 +162,7 @@ def find_overlaps(
 
     # --- 3. exact extension --------------------------------------------
     ovl = L - cand_p
-    a_rows = reads2[jnp.minimum(cand_a, M - 1)]
-    b_rows = reads2[cand_b]
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    a_shift = jnp.take_along_axis(
-        a_rows, jnp.minimum(cand_p[:, None] + j, L - 1), axis=1
-    )
-    eq = (a_shift == b_rows) | (j >= ovl[:, None])
-    ok = jnp.all(eq, axis=1) & cand_valid
+    ok = verify_candidates(reads2, cand_a, cand_p, cand_b) & cand_valid
 
     # --- 4. longest-overlap reduction per (src, dst) -------------------
     e_src = jnp.where(ok, cand_a, _I32_MAX)
@@ -140,4 +179,7 @@ def find_overlaps(
     k_ovl = jnp.where(keep, e_ovl, 0)
     k_src, k_dst, k_ovl = sort_by_keys([k_src, k_dst, k_ovl])
     n_edges = jnp.sum(keep.astype(jnp.int32))
-    return OverlapResult(k_src, k_dst, k_ovl, n_edges, n_candidates, overflow)
+    n_verified = jnp.sum(ok.astype(jnp.int32))
+    return OverlapResult(
+        k_src, k_dst, k_ovl, n_edges, n_candidates, n_verified, overflow
+    )

@@ -35,6 +35,7 @@ from sage2_tpu.kmer.correct import (
 )
 from sage2_tpu.ops import bitpack
 from sage2_tpu.ops.sort import expand_by_counts, lex_searchsorted, sort_by_keys
+from sage2_tpu.overlap.detect import verify_candidates
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
 _I32_MAX = jnp.int32(2**31 - 1)
@@ -337,14 +338,7 @@ def sharded_find_overlaps(
         )
 
         ovl = L - cand_p
-        a_rows = all_reads[jnp.clip(cand_a, 0, M - 1)]
-        b_rows = all_reads[jnp.clip(cand_b, 0, M - 1)]
-        j = jnp.arange(L, dtype=jnp.int32)[None, :]
-        a_shift = jnp.take_along_axis(
-            a_rows, jnp.minimum(cand_p[:, None] + j, L - 1), axis=1
-        )
-        eq = (a_shift == b_rows) | (j >= ovl[:, None])
-        ok = jnp.all(eq, axis=1) & cand_valid
+        ok = verify_candidates(all_reads, cand_a, cand_p, cand_b) & cand_valid
 
         # local longest-per-pair reduction (all candidates of a given dst
         # land on one owner, so the reduction is complete locally)

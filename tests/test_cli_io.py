@@ -1,0 +1,111 @@
+"""CLI subcommands and native/python parser parity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sage2_tpu.cli import main
+from sage2_tpu.data import simulate_genome, simulate_reads, write_fastq
+from sage2_tpu.io import fastq, load_reads
+from sage2_tpu.io import native
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    genome = simulate_genome(2000, seed=301)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=15,
+                              error_rate=0.01, seed=302)
+    fq = str(d / "reads.fastq.gz")
+    write_fastq(fq, reads)
+    return d, fq, reads, genome
+
+
+def test_native_parser_matches_python(dataset):
+    d, fq, reads, _ = dataset
+    if not native.available():
+        pytest.skip("no native toolchain")
+    a = native.parse_fastq(fq)
+    with fastq._open(fq) as f:
+        b = fastq._to_array(fastq._parse_fastq_py(f.read()))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, reads)
+
+
+def test_native_parser_error_message(tmp_path):
+    bad = tmp_path / "bad.fastq"
+    bad.write_text("not a fastq\nACGT\n+\nIIII\n")
+    if not native.available():
+        pytest.skip("no native toolchain")
+    with pytest.raises(ValueError, match="malformed"):
+        native.parse_fastq(str(bad))
+
+
+def test_load_reads_mixed_lengths(tmp_path):
+    p = tmp_path / "mixed.fastq"
+    p.write_text(
+        "@a\nACGTACGT\n+\nIIIIIIII\n"
+        "@b\nACGTAC\n+\nIIIIII\n"
+        "@c\nACGTACGT\n+\nIIIIIIII\n"
+    )
+    with pytest.raises(ValueError, match="mixed"):
+        load_reads([str(p)])
+    arr = load_reads([str(p)], length_policy="filter")
+    assert arr.shape == (2, 8)
+    arr = load_reads([str(p)], length_policy="trim")
+    # trim keeps reads >= dominant length (8): a and c
+    assert arr.shape == (2, 8)
+
+
+def test_cli_simulate_and_stats(tmp_path, capsys):
+    fq = str(tmp_path / "r.fastq")
+    ga = str(tmp_path / "g.fasta")
+    rc = main(["simulate", "-o", fq, "--genome-out", ga,
+               "--genome-len", "1000", "--read-len", "50",
+               "--coverage", "10", "--seed", "5"])
+    assert rc == 0
+    assert os.path.exists(fq) and os.path.exists(ga)
+    rc = main(["stats", ga])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["total_bases"] == 1000
+
+
+def test_cli_assemble_end_to_end(tmp_path, capsys):
+    fq = str(tmp_path / "r.fastq.gz")
+    genome = simulate_genome(1500, seed=311)
+    reads, _ = simulate_reads(genome, read_len=50, coverage=20, seed=312)
+    write_fastq(fq, reads)
+    outdir = str(tmp_path / "asm")
+    rc = main([
+        "assemble", "-o", outdir, "--k", "15", "--min-overlap", "25",
+        "--min-contig-len", "150",
+        "--candidate-capacity", str(1 << 17),
+        "--reduce-capacity", str(1 << 18), fq,
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["n_contigs"] >= 1
+    assert os.path.exists(os.path.join(outdir, "contigs.fasta"))
+
+
+def test_cli_correct_and_overlap(tmp_path, capsys):
+    fq = str(tmp_path / "r.fastq")
+    genome = simulate_genome(800, seed=321)
+    reads, _ = simulate_reads(genome, read_len=40, coverage=15, seed=322)
+    write_fastq(fq, reads)
+    cor = str(tmp_path / "corrected.fasta")
+    rc = main(["correct", "-o", cor, "--k", "15", "--min-overlap", "20", fq])
+    assert rc == 0
+    assert os.path.exists(cor)
+    edges = str(tmp_path / "edges.tsv")
+    rc = main([
+        "overlap", "-o", edges, "--k", "15", "--min-overlap", "20",
+        "--no-correct", "--candidate-capacity", str(1 << 16), fq,
+    ])
+    assert rc == 0
+    lines = open(edges).read().strip().splitlines()
+    assert lines[0].startswith("#src")
+    assert len(lines) > 1
