@@ -57,7 +57,7 @@ def main() -> int:
 
     from sage2_tpu.data import simulate_genome, simulate_reads
     from sage2_tpu.io import native
-    from sage2_tpu.overlap import find_overlaps
+    from sage2_tpu.overlap import find_overlaps_auto
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -97,25 +97,18 @@ def main() -> int:
         log("baseline binary unavailable")
 
     # ---- device kernel ------------------------------------------------
-    capacity = 1 << 24
     r_dev = jnp.asarray(reads.astype(np.int32))
     valid = jnp.ones(n_reads, bool)
 
     def run():
-        res = find_overlaps(r_dev, valid, min_ovl, seed_len=32,
-                            capacity=capacity)
-        return res
+        return find_overlaps_auto(r_dev, valid, min_ovl, seed_len=32)
 
     t0 = time.perf_counter()
     res = run()
     res.src.block_until_ready()
-    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
-    if bool(res.overflow):
-        log(f"capacity overflow (n_candidates={int(res.n_candidates)}); "
-            "increase capacity")
-        capacity = 1 << 26
-        res = run()
-        res.src.block_until_ready()
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s "
+        f"(n_candidates={int(res.n_candidates)})")
+    assert not bool(res.overflow)
 
     times = []
     for _ in range(repeats):

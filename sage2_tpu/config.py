@@ -37,6 +37,7 @@ class AssemblyConfig:
 
     # --- traversal (SURVEY.md §2 "Copy-count / cost model", §3.5) ---
     traversal: str = "mincost"      # "unitig" (conservative) | "mincost" (SAGE-style)
+    branch_dominance: float = 4.0   # prune junction branches this much weaker
     min_contig_len: int = 200       # drop contigs shorter than this many bases
 
     # --- capacities (static shapes; SURVEY.md §7 "Hard parts") ---

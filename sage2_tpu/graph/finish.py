@@ -192,6 +192,46 @@ def pop_bubbles(
     return removed
 
 
+def _remove_edge(g: UnitigGraph, a: int, b: int) -> None:
+    g.out_edges[a] = [(v, o) for (v, o) in g.out_edges.get(a, []) if v != b]
+    g.in_edges[b] = [(u, o) for (u, o) in g.in_edges.get(b, []) if u != a]
+
+
+def prune_weak_branches(
+    g: UnitigGraph, dominance: float, max_rounds: int = 8
+) -> int:
+    """Coverage-cost branch resolution (the "mincost" traversal mode).
+
+    The SAGE cost model prefers continuations whose coverage supports
+    them (SURVEY.md §2 "Copy-count / cost model"): at a junction, a
+    branch whose target coverage is ``dominance`` times weaker than the
+    best sibling is an error/chimera artifact — its edge is dropped,
+    which re-linearizes junctions the tip pass missed. Applied to both
+    out- and in-junctions, so the rule is RC-symmetric (the twin of an
+    out-junction is an in-junction with identical coverages).
+    """
+    removed = 0
+    for _ in range(max_rounds):
+        to_drop = []
+        for uid in g.unitigs:
+            for edges, forward in ((g.out_edges.get(uid, []), True),
+                                   (g.in_edges.get(uid, []), False)):
+                if len(edges) < 2:
+                    continue
+                covs = [g.unitigs[v].coverage for (v, _o) in edges]
+                best = max(covs)
+                for (v, _o), c in zip(list(edges), covs):
+                    if c * dominance <= best:
+                        to_drop.append((uid, v) if forward else (v, uid))
+        if not to_drop:
+            break
+        for a, b in to_drop:
+            if any(v == b for (v, _o) in g.out_edges.get(a, [])):
+                _remove_edge(g, a, b)
+                removed += 1
+    return removed
+
+
 def join_paths(g: UnitigGraph) -> List[List[int]]:
     """Merge unambiguous unitig chains after cleaning; returns paths of
     uids (cycles broken at the minimum uid)."""

@@ -118,14 +118,25 @@ def expand_by_counts(
     result sizes appear (SURVEY.md §7 "Hard parts": fixed capacities with
     overflow counters).
     """
+    G = counts.shape[0]
     offsets = jnp.cumsum(counts)                       # inclusive
-    total = offsets[-1] if counts.shape[0] > 0 else jnp.int32(0)
-    j = jnp.arange(capacity, dtype=jnp.int32)
-    group = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
-    group_c = jnp.minimum(group, counts.shape[0] - 1)
+    total = offsets[-1] if G > 0 else jnp.int32(0)
     starts = offsets - counts
+    # scatter each non-empty group's id at its start slot, then forward-
+    # fill with a max-scan — O(capacity) scan instead of a binary search
+    # per output slot (the searchsorted form was a hotspot on TPU).
+    nonempty = (counts > 0) & (starts < capacity)
+    scatter_idx = jnp.where(nonempty, starts, capacity)
+    init = (
+        jnp.full(capacity + 1, -1, jnp.int32)
+        .at[scatter_idx]
+        .max(jnp.arange(G, dtype=jnp.int32))[:capacity]
+    )
+    group = jax.lax.cummax(init)
+    group_c = jnp.clip(group, 0, G - 1)
+    j = jnp.arange(capacity, dtype=jnp.int32)
     rank = j - starts[group_c]
-    valid = j < total
+    valid = (j < total) & (group >= 0)
     return group_c, rank, valid
 
 

@@ -2,6 +2,18 @@
 (SURVEY.md §2 "Overlap detector", §3.3 — the performance north star)."""
 
 from sage2_tpu.overlap.prepare import ReadSet, prepare_reads
-from sage2_tpu.overlap.detect import OverlapResult, find_overlaps
+from sage2_tpu.overlap.detect import (
+    OverlapResult,
+    count_candidates,
+    find_overlaps,
+    find_overlaps_auto,
+)
 
-__all__ = ["ReadSet", "prepare_reads", "OverlapResult", "find_overlaps"]
+__all__ = [
+    "ReadSet",
+    "prepare_reads",
+    "OverlapResult",
+    "count_candidates",
+    "find_overlaps",
+    "find_overlaps_auto",
+]

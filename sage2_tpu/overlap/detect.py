@@ -24,6 +24,7 @@ true overlap >= min_overlap produces exactly one candidate.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -60,23 +61,73 @@ class OverlapResult(NamedTuple):
     overflow: jnp.ndarray
 
 
+def shifted_word_packs(reads2: jnp.ndarray) -> jnp.ndarray:
+    """Word packings of every read at all 16 base shifts: (M, 16, W).
+
+    shifted[m, r, t] packs bases [r + 16t, r + 16t + 16) of read m
+    (zero-padded past the end), so any suffix reads2[m, p:] is the word
+    run shifted[m, p % 16, p // 16 :]. One-time O(16 M L) cost that turns
+    per-base extension compares into per-word compares.
+    """
+    M, L = reads2.shape
+    W = -(-L // 16)
+    pad = jnp.zeros((M, 15), reads2.dtype)
+    rp = jnp.concatenate([reads2, pad], axis=1)
+    packs = [bitpack.pack_read_words(rp[:, r : r + L]) for r in range(16)]
+    return jnp.stack(packs, axis=1)
+
+
 def verify_candidates(
     reads2: jnp.ndarray,
     cand_a: jnp.ndarray,
     cand_p: jnp.ndarray,
     cand_b: jnp.ndarray,
-    chunk: int = 1 << 16,
+    chunk: int = 1 << 20,
+    shifted: jnp.ndarray | None = None,
+    words0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Exact-extension check: reads2[a][p:] == reads2[b][:L-p] elementwise.
+    """Exact-extension check: reads2[a][p:] == reads2[b][:L-p].
 
-    Chunked with lax.map so peak memory is O(chunk * L) int8 instead of
-    O(capacity * L) int32 — the unchunked form OOMs HBM at production
-    capacities. (The Pallas word-packed variant in ops/pallas replaces
-    this on the hot path.)
+    Word-packed: compares ceil(L/16) uint32 words per candidate instead
+    of L bytes — 16x less gather traffic (the stage that dominated the
+    per-base version on TPU). The final partial word is checked on its
+    top 2*(ovl mod 16) bits only. Chunked with lax.map above ``chunk``
+    candidates to bound peak memory.
     """
     M, L = reads2.shape
-    r8 = reads2.astype(jnp.int8)
+    W = -(-L // 16)
+    if shifted is None:
+        shifted = shifted_word_packs(reads2)
+    if words0 is None:
+        words0 = shifted[:, 0, :]
     C = cand_a.shape[0]
+
+    t16 = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def body(xs):
+        a, p, b = xs
+        a_c = jnp.clip(a, 0, M - 1)
+        b_c = jnp.clip(b, 0, M - 1)
+        r = p & 15
+        w0 = p >> 4
+        aw = shifted[a_c, r]                      # (c, W)
+        idx = jnp.minimum(w0[:, None] + t16, W - 1)
+        a_shift = jnp.take_along_axis(aw, idx, axis=1)
+        bw = words0[b_c]
+        diff = a_shift ^ bw
+        ovl = L - p
+        vb = jnp.clip((ovl[:, None] - 16 * t16) * 2, 0, 32)
+        shift = jnp.clip(32 - vb, 0, 31).astype(jnp.uint32)
+        ok_word = jnp.where(
+            vb == 0,
+            True,
+            jnp.where(vb == 32, diff == 0, (diff >> shift) == 0),
+        )
+        return jnp.all(ok_word, axis=1)
+
+    if C <= chunk:
+        return body((cand_a, cand_p, cand_b))
+
     n_chunks = -(-C // chunk)
     pad = n_chunks * chunk - C
 
@@ -88,19 +139,6 @@ def verify_candidates(
     ca = pad_to(cand_a, 0).reshape(n_chunks, chunk)
     cp = pad_to(cand_p, L - 1).reshape(n_chunks, chunk)
     cb = pad_to(cand_b, 0).reshape(n_chunks, chunk)
-
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-
-    def body(xs):
-        a, p, b = xs
-        a_rows = r8[jnp.clip(a, 0, M - 1)]
-        b_rows = r8[jnp.clip(b, 0, M - 1)]
-        a_shift = jnp.take_along_axis(
-            a_rows, jnp.minimum(p[:, None] + j, L - 1), axis=1
-        )
-        eq = (a_shift == b_rows) | (j >= (L - p)[:, None])
-        return jnp.all(eq, axis=1)
-
     ok = jax.lax.map(body, (ca, cp, cb)).reshape(-1)
     return ok[:C]
 
@@ -162,7 +200,11 @@ def find_overlaps(
 
     # --- 3. exact extension --------------------------------------------
     ovl = L - cand_p
-    ok = verify_candidates(reads2, cand_a, cand_p, cand_b) & cand_valid
+    shifted = shifted_word_packs(reads2)
+    ok = verify_candidates(
+        reads2, cand_a, cand_p, cand_b,
+        shifted=shifted, words0=shifted[:, 0, :],
+    ) & cand_valid
 
     # --- 4. longest-overlap reduction per (src, dst) -------------------
     e_src = jnp.where(ok, cand_a, _I32_MAX)
@@ -183,3 +225,58 @@ def find_overlaps(
     return OverlapResult(
         k_src, k_dst, k_ovl, n_edges, n_candidates, n_verified, overflow
     )
+
+
+def count_candidates(
+    reads2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    min_overlap: int,
+    seed_len: int = 32,
+) -> jnp.ndarray:
+    """Exact candidate count of the seed join (the cheap first phase of
+    the auto-capacity strategy; SURVEY.md §7 "fixed capacities")."""
+    M, L = reads2.shape
+    s = min(seed_len, min_overlap, 32)
+    hi, lo = bitpack.kmer_keys(reads2, s)
+    pa = L - min_overlap
+    a_valid = jnp.broadcast_to(valid2[:, None], (M, pa))
+    a_hi = jnp.where(a_valid, hi[:, 1 : pa + 1], _U32_MAX).reshape(-1)
+    a_lo = jnp.where(a_valid, lo[:, 1 : pa + 1], _U32_MAX).reshape(-1)
+    s_hi, s_lo = sort_by_keys([a_hi, a_lo])
+    q_hi, q_lo = hi[:, 0], lo[:, 0]
+    lo_idx = lex_searchsorted(s_hi, s_lo, q_hi, q_lo, side="left")
+    hi_idx = lex_searchsorted(s_hi, s_lo, q_hi, q_lo, side="right")
+    return jnp.sum(jnp.where(valid2, hi_idx - lo_idx, 0))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_count(min_overlap: int, seed_len: int):
+    return jax.jit(
+        lambda r, v: count_candidates(r, v, min_overlap, seed_len)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_find(min_overlap: int, seed_len: int, capacity: int):
+    return jax.jit(
+        lambda r, v: find_overlaps(r, v, min_overlap, seed_len, capacity)
+    )
+
+
+def find_overlaps_auto(
+    reads2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    min_overlap: int,
+    seed_len: int = 32,
+    min_capacity: int = 1 << 14,
+) -> OverlapResult:
+    """Two-phase overlap detection with right-sized candidate capacity.
+
+    Phase 1 counts candidates exactly (~free); phase 2 runs the full
+    kernel at the next power-of-two capacity. Power-of-two bucketing
+    keeps recompiles bounded, and a grossly oversized static capacity —
+    which taxes every downstream sort/scan — never happens.
+    """
+    n = int(_jitted_count(min_overlap, seed_len)(reads2, valid2))
+    cap = max(min_capacity, 1 << max(n, 1).bit_length())
+    return _jitted_find(min_overlap, seed_len, cap)(reads2, valid2)

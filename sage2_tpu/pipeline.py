@@ -28,12 +28,13 @@ from sage2_tpu.graph.finish import (
     emit_contigs,
     join_paths,
     pop_bubbles,
+    prune_weak_branches,
     remove_tips,
 )
 from sage2_tpu.graph.reduce import transitive_reduction
 from sage2_tpu.graph.traverse import contract_unitigs
 from sage2_tpu.kmer import correct_reads, count_kmers
-from sage2_tpu.overlap import find_overlaps, prepare_reads
+from sage2_tpu.overlap import find_overlaps_auto, prepare_reads
 from sage2_tpu.utils.metrics import MetricsLog
 from sage2_tpu.utils.stats import assembly_stats
 
@@ -100,18 +101,13 @@ def assemble(
     # --- stage 3: dedup + overlaps (SURVEY.md §3.3) --------------------
     if start <= STAGES.index("overlap"):
         rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
-        cap = config.candidate_capacity
-        while True:
-            with log.timed("overlap", capacity=cap):
-                res = find_overlaps(
-                    rs.reads2, rs.valid2, config.min_overlap,
-                    config.effective_seed_len, capacity=cap,
-                )
-                res.src.block_until_ready()
-            if not bool(res.overflow):
-                break
-            cap *= 2
-            log.log("overlap_retry", new_capacity=cap)
+        with log.timed("overlap"):
+            res = find_overlaps_auto(
+                rs.reads2, rs.valid2, config.min_overlap,
+                config.effective_seed_len,
+            )
+            res.src.block_until_ready()
+        assert not bool(res.overflow)
         log.log("overlap_result", n_edges=int(res.n_edges),
                 n_candidates=int(res.n_candidates),
                 n_unique_reads=int(rs.n_unique))
@@ -175,12 +171,16 @@ def assemble(
         n_unitigs_raw = len(g.unitigs)
         capn = V // 2
         n_tips = remove_tips(g, capn, config.tip_max_reads)
+        n_pruned = 0
+        if config.traversal == "mincost":
+            n_pruned = prune_weak_branches(g, config.branch_dominance)
         n_bub = pop_bubbles(g, capn, config.bubble_max_reads, config.bubble_ratio)
+        n_tips += remove_tips(g, capn, config.tip_max_reads)
         paths = join_paths(g)
         contigs = emit_contigs(g, paths, reads2_np, config)
     stats = assembly_stats(contigs)
     log.log("finish_result", n_unitigs=n_unitigs_raw, tips_removed=n_tips,
-            bubbles_popped=n_bub, **stats)
+            branches_pruned=n_pruned, bubbles_popped=n_bub, **stats)
     if outdir:
         from sage2_tpu.io.writer import write_fasta
         write_fasta(os.path.join(outdir, "contigs.fasta"), contigs)

@@ -39,6 +39,26 @@ def assembly_stats(contigs: List[np.ndarray],
     return out
 
 
+def count_misassembled(
+    contigs: List[np.ndarray], genome: np.ndarray
+) -> int:
+    """Contigs with no exact alignment to the genome (either strand).
+
+    The pipeline is exact end-to-end, so on error-free-by-construction
+    truth a correct contig must occur verbatim; any contig that doesn't
+    is a misassembly (join across repeats, chimera). Stand-in for QUAST
+    misassembly counting (SURVEY.md §4).
+    """
+    gbytes = genome.astype(np.uint8).tobytes()
+    bad = 0
+    for c in contigs:
+        rc = (3 - c)[::-1]
+        if (gbytes.find(c.astype(np.uint8).tobytes()) < 0
+                and gbytes.find(rc.astype(np.uint8).tobytes()) < 0):
+            bad += 1
+    return bad
+
+
 def _genome_fraction(contigs: List[np.ndarray], genome: np.ndarray) -> float:
     """Fraction of genome positions covered by some exactly-aligned contig.
 

@@ -1,5 +1,7 @@
 """End-to-end assembly tests: the minimum slice of SURVEY.md §7 step 6."""
 
+from dataclasses import replace as dataclasses_replace
+
 import numpy as np
 import pytest
 
@@ -27,6 +29,8 @@ def test_assemble_clean_reads_recovers_genome():
 
 
 def test_assemble_noisy_reads():
+    from sage2_tpu.utils.stats import count_misassembled
+
     genome = simulate_genome(3000, seed=111)
     reads, _ = simulate_reads(
         genome, read_len=50, coverage=30, error_rate=0.01, seed=112
@@ -35,6 +39,38 @@ def test_assemble_noisy_reads():
     s = assembly_stats(contigs, genome)
     assert s["genome_fraction"] > 0.9
     assert s["n50"] > 1000
+    assert count_misassembled(contigs, genome) == 0
+
+
+def test_assemble_mincost_resolves_error_branches():
+    """Coverage-cost pruning should reassemble a noisy genome into few
+    contigs without misassembling (SURVEY.md §2 cost model)."""
+    from sage2_tpu.utils.stats import count_misassembled
+
+    genome = simulate_genome(8000, seed=115)
+    reads, _ = simulate_reads(
+        genome, read_len=60, coverage=35, error_rate=0.008, seed=116
+    )
+    uni, _ = assemble(reads, dataclasses_replace(CFG, traversal="unitig"))
+    mc, _ = assemble(reads, dataclasses_replace(CFG, traversal="mincost"))
+    assert count_misassembled(mc, genome) == 0
+    assert len(mc) <= len(uni)
+    s = assembly_stats(mc, genome)
+    assert s["genome_fraction"] > 0.98
+    assert s["n50"] >= assembly_stats(uni, genome)["n50"]
+
+
+def test_assemble_repeats_no_misassembly():
+    """Exact repeats must break contigs, not join them incorrectly."""
+    from sage2_tpu.utils.stats import count_misassembled
+
+    genome = simulate_genome(6000, seed=117, repeat_fraction=0.1,
+                             repeat_len=300)
+    reads, _ = simulate_reads(genome, read_len=50, coverage=30, seed=118)
+    contigs, stats = assemble(reads, CFG)
+    assert count_misassembled(contigs, genome) == 0
+    s = assembly_stats(contigs, genome)
+    assert s["genome_fraction"] > 0.9
 
 
 def test_assemble_deterministic():
