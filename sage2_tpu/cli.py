@@ -74,6 +74,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--resume-from",
                    choices=["correct", "overlap", "reduce", "traverse",
                             "finish"])
+    p.add_argument("--profile", metavar="DIR",
+                   help="dump a jax.profiler trace of the device stages")
     p.add_argument("reads", nargs="+", help="FASTQ/FASTA files (gz ok)")
 
     p = sub.add_parser("correct", help="count + spectrum-correct only")
@@ -154,6 +156,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         contigs, stats = assemble(
             reads, cfg, outdir=args.outdir,
             resume_from=getattr(args, "resume_from", None),
+            profile_dir=getattr(args, "profile", None),
         )
         print(json.dumps(stats, indent=1))
         return 0

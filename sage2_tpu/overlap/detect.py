@@ -5,15 +5,19 @@ the >=10x-per-chip target). TPU design (SURVEY.md §7 step 4):
 
   1. SEED EXTRACTION — every overlap of length l means B's length-s
      prefix (s = effective seed length <= 32) occurs in A at offset
-     p = L - l. Extract the seed key of every A-position p in
-     [1, L - min_overlap] (p = 0, full identity, is removed by dedup).
-  2. SORTED SEED JOIN — sort the A-side (seed, read, pos) table once;
-     each read B binary-searches its prefix seed to an index range;
-     ranges are flattened into a static candidate capacity
-     (expand_by_counts; overflow is detected and reported).
-  3. EXACT EXTENSION — verify the remaining l - s bases with one masked
-     vectorized compare per candidate (batched gather + equality on the
-     VPU; Pallas kernel variant in ops/pallas for the hot path).
+     p = L - l. A-side candidates are the seed keys of every position
+     p in [1, L - min_overlap] (p = 0, full identity, is removed by
+     dedup) — ~L/2 per read.
+  2. INVERTED SORTED JOIN — sort and run-length-dedup the SMALL side
+     (one prefix seed per read, M entries) into a unique-prefix table;
+     every A-side entry (M * ~L/2 of them) binary-searches it. This
+     orientation avoids sorting the huge A-side — the join cost is a
+     wide vectorized binary search against a table that fits on-chip,
+     not an O(M L log^2) device sort. Matches are flattened into a
+     static candidate capacity (expand_by_counts; exact overflow
+     detection).
+  3. EXACT EXTENSION — word-packed compare per candidate (16 bases per
+     uint32; see verify_candidates).
   4. REDUCTION — keep the longest overlap per ordered (A, B) pair
      (string-graph convention), emitting a deduplicated edge list sorted
      by (src, dst).
@@ -85,14 +89,19 @@ def verify_candidates(
     chunk: int = 1 << 20,
     shifted: jnp.ndarray | None = None,
     words0: jnp.ndarray | None = None,
+    max_p: int | None = None,
 ) -> jnp.ndarray:
     """Exact-extension check: reads2[a][p:] == reads2[b][:L-p].
 
     Word-packed: compares ceil(L/16) uint32 words per candidate instead
-    of L bytes — 16x less gather traffic (the stage that dominated the
-    per-base version on TPU). The final partial word is checked on its
-    top 2*(ovl mod 16) bits only. Chunked with lax.map above ``chunk``
-    candidates to bound peak memory.
+    of L bytes. Each candidate costs exactly TWO contiguous row gathers
+    (flat index a*16 + p%16, and b) — the word-level offset p//16 is
+    applied in registers via a static select over the few possible
+    values, because generic multi-dimensional gathers were the dominant
+    cost on TPU. The final partial word is checked on its top
+    2*(ovl mod 16) bits only. Chunked with lax.map above ``chunk``
+    candidates to bound peak memory. ``max_p``: static bound on cand_p
+    (defaults to L-1), limits the select fan-out.
     """
     M, L = reads2.shape
     W = -(-L // 16)
@@ -101,6 +110,8 @@ def verify_candidates(
     if words0 is None:
         words0 = shifted[:, 0, :]
     C = cand_a.shape[0]
+    max_w0 = (max_p if max_p is not None else L - 1) >> 4
+    shifted_flat = shifted.reshape(M * 16, W)
 
     t16 = jnp.arange(W, dtype=jnp.int32)[None, :]
 
@@ -110,10 +121,15 @@ def verify_candidates(
         b_c = jnp.clip(b, 0, M - 1)
         r = p & 15
         w0 = p >> 4
-        aw = shifted[a_c, r]                      # (c, W)
-        idx = jnp.minimum(w0[:, None] + t16, W - 1)
-        a_shift = jnp.take_along_axis(aw, idx, axis=1)
-        bw = words0[b_c]
+        aw = shifted_flat[a_c * 16 + r]           # (c, W) row gather
+        bw = words0[b_c]                          # (c, W) row gather
+        # register word-shift: a_shift[:, t] = aw[:, t + w0]
+        a_shift = aw
+        for k in range(1, max_w0 + 1):
+            rolled = jnp.concatenate(
+                [aw[:, k:], jnp.zeros((aw.shape[0], k), aw.dtype)], axis=1
+            )
+            a_shift = jnp.where(w0[:, None] == k, rolled, a_shift)
         diff = a_shift ^ bw
         ovl = L - p
         vb = jnp.clip((ovl[:, None] - 16 * t16) * 2, 0, 32)
@@ -143,6 +159,99 @@ def verify_candidates(
     return ok[:C]
 
 
+def seed_keys_from_packs(
+    shifted: jnp.ndarray, s: int, p_lo_incl: int, p_hi_incl: int, L: int
+):
+    """Left-aligned seed keys of positions p in [p_lo_incl, p_hi_incl]
+    straight from the shifted word packs — static slices, no arithmetic.
+
+    The seed at position p is bases [p, p+s); its left-aligned key is
+    (word covering [p, p+16), word covering [p+16, p+32)) masked to the
+    top 2s bits. Left-aligned keys differ from kmer_keys' integer
+    values, but any injective mapping works for joining — both sides
+    use this one. Returns (hi, lo) of shape (M, p_hi-p_lo+1).
+    """
+    M = shifted.shape[0]
+    W = shifted.shape[2]
+    his, los = [], []
+    for p in range(p_lo_incl, p_hi_incl + 1):
+        r, w = p % 16, p // 16
+        his.append(shifted[:, r, w])
+        if s > 16:
+            los.append(shifted[:, r, min(w + 1, W - 1)])
+    hi = jnp.stack(his, axis=1)
+    if s >= 16:
+        pass
+    else:
+        hi = hi & jnp.uint32((0xFFFFFFFF << (32 - 2 * s)) & 0xFFFFFFFF)
+    if s > 16:
+        lo = jnp.stack(los, axis=1)
+        if s < 32:
+            lo = lo & jnp.uint32((0xFFFFFFFF << (32 - 2 * (s - 16))) & 0xFFFFFFFF)
+    else:
+        lo = jnp.zeros_like(hi)
+    return hi, lo
+
+
+def _prefix_join_parts(
+    p_hi: jnp.ndarray, p_lo: jnp.ndarray, p_valid: jnp.ndarray,
+    a_hi: jnp.ndarray, a_lo: jnp.ndarray, a_row_valid: jnp.ndarray,
+    seed_bits: int = 64, bucket_bits: int = 22,
+):
+    """Inverted seed join via a direct-mapped bucket table.
+
+    p_*: (Mg,) one prefix seed per (global) read + validity. a_*: any
+    (..., pa) A-side seed keys with per-row validity (...,).
+
+    Prefixes are sorted once (valid-first within ties); a 2^B-entry
+    start table over the top B key bits then answers every A-side query
+    with ONE gather instead of a log(Mg)-step binary search — the join
+    was gather-bound on TPU. Bucket collisions produce false candidates,
+    which is SAFE: the exact-extension verify re-checks the entire
+    overlap including the seed region, so the final edge set is
+    unchanged; only n_candidates (capacity sizing) includes the ~Mg/2^B
+    collision overhead.
+
+    Returns (b_read, lo_idx, counts): b_read (Mg,) read ids sorted by
+    prefix key; lo_idx/counts shaped like a_hi — bucket start slot and
+    number of candidate B reads per A-side entry.
+    """
+    Mg = p_hi.shape[0]
+    B = min(bucket_bits, seed_bits, 31)  # int32 bucket ids stay positive
+    shift = jnp.uint32(32 - B)
+    nb = 1 << B
+
+    q_hi = jnp.where(p_valid, p_hi, _U32_MAX)
+    q_lo = jnp.where(p_valid, p_lo, _U32_MAX)
+    inval = (~p_valid).astype(jnp.uint32)
+    b_hi, _, _, b_read, b_val = sort_by_keys(
+        [q_hi, q_lo, inval],
+        [jnp.arange(Mg, dtype=jnp.int32), p_valid.astype(jnp.int32)],
+    )
+    n_valid = jnp.sum(b_val)
+
+    bucket = (b_hi >> shift).astype(jnp.int32)
+    idx = jnp.arange(Mg, dtype=jnp.int32)
+    tbl = (
+        jnp.full(nb + 1, Mg, jnp.int32)
+        .at[jnp.where(b_val == 1, bucket, nb)]
+        .min(idx)
+    )
+    tbl = tbl.at[nb].min(n_valid)
+    # forward-fill empty buckets from the right: start[b] = first sorted
+    # index whose bucket >= b
+    start = jax.lax.cummin(tbl[::-1])[::-1]
+    # pack (start, count) as one 2-column table: each query is a single
+    # row gather instead of two separate 6M-element table gathers
+    packed = jnp.stack([start[:-1], start[1:] - start[:-1]], axis=1)
+
+    qb = (a_hi >> shift).astype(jnp.int32)
+    row = packed[qb]
+    lo_idx = row[..., 0]
+    counts = jnp.where(a_row_valid[..., None], row[..., 1], 0)
+    return b_read, lo_idx, counts
+
+
 def find_overlaps(
     reads2: jnp.ndarray,
     valid2: jnp.ndarray,
@@ -160,50 +269,29 @@ def find_overlaps(
     if min_overlap >= L:
         raise ValueError(f"min_overlap ({min_overlap}) must be < read len ({L})")
 
-    # --- 1. seed extraction --------------------------------------------
-    hi, lo = bitpack.kmer_keys(reads2, s)          # (M, L - s + 1)
+    # --- 1+2. B-prefix table + inverted bucket join --------------------
     pa = L - min_overlap                           # positions 1..pa inclusive
-    a_hi = hi[:, 1 : pa + 1]
-    a_lo = lo[:, 1 : pa + 1]
-    a_read = jnp.broadcast_to(
-        jnp.arange(M, dtype=jnp.int32)[:, None], (M, pa)
+    shifted = shifted_word_packs(reads2)
+    s_hi, s_lo = seed_keys_from_packs(shifted, s, 0, pa, L)
+    b_read, lo_idx, counts = _prefix_join_parts(
+        s_hi[:, 0], s_lo[:, 0], valid2,
+        s_hi[:, 1:], s_lo[:, 1:], valid2, seed_bits=2 * s,
     )
-    a_pos = jnp.broadcast_to(
-        jnp.arange(1, pa + 1, dtype=jnp.int32)[None, :], (M, pa)
-    )
-    a_valid = jnp.broadcast_to(valid2[:, None], (M, pa))
-    # invalid rows sort to the end; real all-T seeds are filtered by the
-    # per-entry validity value carried through the sort
-    a_hi = jnp.where(a_valid, a_hi, _U32_MAX)
-    a_lo = jnp.where(a_valid, a_lo, _U32_MAX)
-
-    flat = lambda x: x.reshape(-1)
-    s_hi, s_lo, s_read, s_pos, s_val = sort_by_keys(
-        [flat(a_hi), flat(a_lo), flat(a_read), flat(a_pos)],
-        [flat(a_valid).astype(jnp.int32)],
-    )
-
-    # --- 2. sorted seed join -------------------------------------------
-    q_hi, q_lo = hi[:, 0], lo[:, 0]                # each read's prefix seed
-    lo_idx = lex_searchsorted(s_hi, s_lo, q_hi, q_lo, side="left")
-    hi_idx = lex_searchsorted(s_hi, s_lo, q_hi, q_lo, side="right")
-    counts = jnp.where(valid2, hi_idx - lo_idx, 0)
     n_candidates = jnp.sum(counts)
     overflow = n_candidates > capacity
 
-    b_idx, rank, cand_valid = expand_by_counts(counts, capacity)
-    a_entry = jnp.minimum(lo_idx[b_idx] + rank, s_hi.shape[0] - 1)
-    cand_a = s_read[a_entry]
-    cand_p = s_pos[a_entry]
-    cand_b = b_idx.astype(jnp.int32)
-    cand_valid = cand_valid & (s_val[a_entry] == 1) & (cand_a != cand_b)
+    entry, rank, cand_valid = expand_by_counts(counts.reshape(-1), capacity)
+    cand_a = entry // pa
+    cand_p = entry % pa + 1
+    b_slot = jnp.minimum(lo_idx.reshape(-1)[entry] + rank, M - 1)
+    cand_b = b_read[b_slot]
+    cand_valid = cand_valid & (cand_a != cand_b)
 
     # --- 3. exact extension --------------------------------------------
     ovl = L - cand_p
-    shifted = shifted_word_packs(reads2)
     ok = verify_candidates(
         reads2, cand_a, cand_p, cand_b,
-        shifted=shifted, words0=shifted[:, 0, :],
+        shifted=shifted, words0=shifted[:, 0, :], max_p=pa,
     ) & cand_valid
 
     # --- 4. longest-overlap reduction per (src, dst) -------------------
@@ -237,16 +325,14 @@ def count_candidates(
     the auto-capacity strategy; SURVEY.md §7 "fixed capacities")."""
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
-    hi, lo = bitpack.kmer_keys(reads2, s)
     pa = L - min_overlap
-    a_valid = jnp.broadcast_to(valid2[:, None], (M, pa))
-    a_hi = jnp.where(a_valid, hi[:, 1 : pa + 1], _U32_MAX).reshape(-1)
-    a_lo = jnp.where(a_valid, lo[:, 1 : pa + 1], _U32_MAX).reshape(-1)
-    s_hi, s_lo = sort_by_keys([a_hi, a_lo])
-    q_hi, q_lo = hi[:, 0], lo[:, 0]
-    lo_idx = lex_searchsorted(s_hi, s_lo, q_hi, q_lo, side="left")
-    hi_idx = lex_searchsorted(s_hi, s_lo, q_hi, q_lo, side="right")
-    return jnp.sum(jnp.where(valid2, hi_idx - lo_idx, 0))
+    shifted = shifted_word_packs(reads2)
+    s_hi, s_lo = seed_keys_from_packs(shifted, s, 0, pa, L)
+    _, _, counts = _prefix_join_parts(
+        s_hi[:, 0], s_lo[:, 0], valid2,
+        s_hi[:, 1:], s_lo[:, 1:], valid2, seed_bits=2 * s,
+    )
+    return jnp.sum(counts)
 
 
 @functools.lru_cache(maxsize=64)
@@ -270,13 +356,24 @@ def find_overlaps_auto(
     seed_len: int = 32,
     min_capacity: int = 1 << 14,
 ) -> OverlapResult:
-    """Two-phase overlap detection with right-sized candidate capacity.
+    """Single-pass overlap detection with self-sizing candidate capacity.
 
-    Phase 1 counts candidates exactly (~free); phase 2 runs the full
-    kernel at the next power-of-two capacity. Power-of-two bucketing
-    keeps recompiles bounded, and a grossly oversized static capacity —
-    which taxes every downstream sort/scan — never happens.
+    Starts from a coverage-scale heuristic (16 candidates/read, 64k
+    granularity — a power-of-two bucket can double every
+    capacity-proportional stage for a 1% overshoot); on overflow,
+    retries once at the kernel's own exact n_candidates. Steady state is
+    ONE kernel invocation — a separate exact-count phase would duplicate
+    the join, which is half the stage's cost.
     """
-    n = int(_jitted_count(min_overlap, seed_len)(reads2, valid2))
-    cap = max(min_capacity, 1 << max(n, 1).bit_length())
-    return _jitted_find(min_overlap, seed_len, cap)(reads2, valid2)
+    M = reads2.shape[0]
+    grain = 1 << 16
+
+    def round_up(n):
+        return max(min_capacity, -(-int(n) // grain) * grain)
+
+    cap = round_up(16 * M)
+    while True:
+        res = _jitted_find(min_overlap, seed_len, cap)(reads2, valid2)
+        if not bool(res.overflow):
+            return res
+        cap = max(round_up(int(res.n_candidates) * 1.05), cap + grain)

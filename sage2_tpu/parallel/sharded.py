@@ -254,22 +254,30 @@ def sharded_find_overlaps(
     route_cap: int,
     join_cap: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Distributed suffix-prefix overlap detection.
+    """Distributed suffix-prefix overlap detection (inverted join).
 
-    Seeds are hash-routed so each device owns a slice of the global seed
-    index and joins the queries that land on it; extension verifies
-    against an all-gathered read replica (fine for per-host read counts;
-    streamed verification is the planned upgrade for table-scale inputs).
-    Returns (src, dst, ovl, n_edges, overflow): the edge list is
-    replicated, sorted by (src, dst), one row per surviving pair per
-    owner-slot; global longest-per-pair reduction runs on the gathered
-    result.
+    The one-prefix-per-read B-table is small, so it is all_gathered and
+    sorted replicated on every device; each device then joins only its
+    OWN read shard's A-side seed positions against it and verifies
+    against an all-gathered read replica. All candidates for a pair
+    (a, b) arise from a's A-side entries, which live on a's owner — so
+    the longest-per-pair reduction is complete locally; edge lists are
+    all_gathered and globally sorted for a replicated deterministic
+    result. (Streamed verification replaces the read replica for
+    table-scale inputs in a later round.)
+    Returns (src, dst, ovl, n_edges, overflow).
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
-    shard = M // ndev
+    del route_cap  # inverted join routes nothing; kept for API stability
+
+    from sage2_tpu.overlap.detect import (
+        _prefix_join_parts,
+        seed_keys_from_packs,
+        shifted_word_packs,
+    )
 
     @jax.jit
     @functools.partial(
@@ -283,65 +291,34 @@ def sharded_find_overlaps(
         dev = jax.lax.axis_index(axis)
         base = dev * m_local
         all_reads = jax.lax.all_gather(reads_local, axis, tiled=True)
+        all_valid = jax.lax.all_gather(valid_local, axis, tiled=True)
 
-        hi, lo = bitpack.kmer_keys(reads_local, s)
         pa = L - min_overlap
-        a_hi = hi[:, 1 : pa + 1].reshape(-1)
-        a_lo = lo[:, 1 : pa + 1].reshape(-1)
-        a_read = (
-            base
-            + jnp.broadcast_to(
-                jnp.arange(m_local, dtype=jnp.int32)[:, None], (m_local, pa)
-            )
-        ).reshape(-1)
-        a_pos = jnp.broadcast_to(
-            jnp.arange(1, pa + 1, dtype=jnp.int32)[None, :], (m_local, pa)
-        ).reshape(-1)
-        a_val = jnp.broadcast_to(valid_local[:, None], (m_local, pa)).reshape(-1)
-
-        # route A-side seed entries to owners; owner sorts its slice
-        routed_a = _route(
-            axis, _owner(a_hi, a_lo, ndev), a_val,
-            (a_hi, a_lo, a_read, a_pos), route_cap, ndev,
+        shifted_l = shifted_word_packs(reads_local)
+        s_hi_l, s_lo_l = seed_keys_from_packs(shifted_l, s, 0, pa, L)
+        # replicated global prefix table (small: one entry per read)
+        hi0 = jax.lax.all_gather(s_hi_l[:, 0], axis, tiled=True)
+        lo0 = jax.lax.all_gather(s_lo_l[:, 0], axis, tiled=True)
+        b_read, lo_idx_l, counts_l = _prefix_join_parts(
+            hi0, lo0, all_valid,
+            s_hi_l[:, 1:], s_lo_l[:, 1:], valid_local, seed_bits=2 * s,
         )
-        t_hi, t_lo, t_read, t_pos = (x.reshape(-1) for x in routed_a.recv)
-        t_val = routed_a.recv_valid.reshape(-1)
-        t_hi = jnp.where(t_val, t_hi, _U32_MAX)
-        t_lo = jnp.where(t_val, t_lo, _U32_MAX)
-        t_hi, t_lo, t_read, t_pos, t_vi = sort_by_keys(
-            [t_hi, t_lo, t_read, t_pos], [t_val.astype(jnp.int32)]
+        counts = counts_l
+        n_cand_local = jnp.sum(counts)
+        join_overflow = n_cand_local > join_cap
+
+        entry, rank, cand_valid = expand_by_counts(
+            counts.reshape(-1), join_cap
         )
+        cand_a = base + entry // pa
+        cand_p = entry % pa + 1
+        b_slot = jnp.minimum(lo_idx_l.reshape(-1)[entry] + rank, M - 1)
+        cand_b = b_read[b_slot]
+        cand_valid = cand_valid & (cand_a != cand_b)
 
-        # route B-side prefix-seed queries to the same owners
-        q_hi, q_lo = hi[:, 0], lo[:, 0]
-        q_read = base + jnp.arange(m_local, dtype=jnp.int32)
-        routed_q = _route(
-            axis, _owner(q_hi, q_lo, ndev), valid_local,
-            (q_hi, q_lo, q_read), route_cap, ndev,
-        )
-        r_hi, r_lo, r_read = (x.reshape(-1) for x in routed_q.recv)
-        r_val = routed_q.recv_valid.reshape(-1)
-
-        lo_idx = lex_searchsorted(t_hi, t_lo, r_hi, r_lo, side="left")
-        hi_idx = lex_searchsorted(t_hi, t_lo, r_hi, r_lo, side="right")
-        counts = jnp.where(r_val, hi_idx - lo_idx, 0)
-        n_cand = jnp.sum(counts)
-        join_overflow = n_cand > join_cap
-
-        b_idx, rank, cand_valid = expand_by_counts(counts, join_cap)
-        a_entry = jnp.minimum(lo_idx[b_idx] + rank, t_hi.shape[0] - 1)
-        cand_a = t_read[a_entry]
-        cand_p = t_pos[a_entry]
-        cand_b = r_read[b_idx]
-        cand_valid = (
-            cand_valid & (t_vi[a_entry] == 1) & (cand_a != cand_b)
-        )
-
-        ovl = L - cand_p
         ok = verify_candidates(all_reads, cand_a, cand_p, cand_b) & cand_valid
+        ovl = L - cand_p
 
-        # local longest-per-pair reduction (all candidates of a given dst
-        # land on one owner, so the reduction is complete locally)
         e_src = jnp.where(ok, cand_a, _I32_MAX)
         e_dst = jnp.where(ok, cand_b, _I32_MAX)
         e_ovl = jnp.where(ok, ovl, 0)
@@ -354,20 +331,12 @@ def sharded_find_overlaps(
         e_ovl = jnp.where(keep, e_ovl, 0)
         n_local = jnp.sum(keep.astype(jnp.int32))
 
-        # gather + global sort for a replicated deterministic edge list
         g_src = jax.lax.all_gather(e_src, axis, tiled=True)
         g_dst = jax.lax.all_gather(e_dst, axis, tiled=True)
         g_ovl = jax.lax.all_gather(e_ovl, axis, tiled=True)
         g_src, g_dst, g_ovl = sort_by_keys([g_src, g_dst, g_ovl])
         n_edges = jax.lax.psum(n_local, axis)
-        overflow = (
-            jax.lax.psum(
-                (routed_a.overflow | routed_q.overflow | join_overflow)
-                .astype(jnp.int32),
-                axis,
-            )
-            > 0
-        )
+        overflow = jax.lax.psum(join_overflow.astype(jnp.int32), axis) > 0
         return g_src, g_dst, g_ovl, n_edges, overflow
 
     return run(reads2, valid2)

@@ -71,11 +71,33 @@ def assemble(
     outdir: Optional[str] = None,
     metrics: Optional[MetricsLog] = None,
     resume_from: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ) -> Tuple[List[np.ndarray], Dict[str, float]]:
-    """Assemble fixed-length reads (N, L) int codes -> (contigs, stats)."""
+    """Assemble fixed-length reads (N, L) int codes -> (contigs, stats).
+
+    ``profile_dir``: dump a jax.profiler trace (Perfetto/XProf) of the
+    device stages there (SURVEY.md §5 "Tracing / profiling").
+    """
     log = metrics or MetricsLog(
         os.path.join(outdir, "metrics.jsonl") if outdir else None
     )
+    if profile_dir:
+        import contextlib
+
+        import jax
+
+        trace_cm = jax.profiler.trace(profile_dir)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        return _assemble_inner(
+            reads, config, outdir, log, resume_from
+        )
+
+
+def _assemble_inner(reads, config, outdir, log, resume_from):
     N, L = reads.shape
     start = STAGES.index(resume_from) if resume_from else 0
 
