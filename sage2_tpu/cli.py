@@ -37,6 +37,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="how to handle mixed read lengths at ingest")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu, axon)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="shard stages over an N-device mesh")
 
 
 def _config(args) -> "AssemblyConfig":
@@ -51,6 +53,7 @@ def _config(args) -> "AssemblyConfig":
         traversal=args.traversal,
         candidate_capacity=args.candidate_capacity,
         reduce_capacity=args.reduce_capacity,
+        mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else None,
     )
 
 

@@ -196,6 +196,7 @@ def sharded_correct_reads(
     rounds: int,
     route_cap: int,
     query_cap: int,
+    valid: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed spectrum correction: reads stay sharded; every count
     probe is a routed query against the hash-partitioned table.
@@ -205,21 +206,26 @@ def sharded_correct_reads(
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
+    if valid is None:
+        valid = jnp.ones(reads.shape[0], bool)
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None),),
+        in_specs=(P(axis, None), P(axis)),
         out_specs=(P(axis, None), P()),
     )
-    def run(reads_local):
+    def run(reads_local, valid_local):
         r = reads_local
         any_overflow = jnp.zeros((), bool)
         for _ in range(rounds):
             hi, lo = bitpack.canonical_kmer_keys(r, k)
+            kvalid = jnp.broadcast_to(
+                valid_local[:, None], hi.shape
+            ).reshape(-1)
             table, ovf = _local_count_owned(
                 axis, hi.reshape(-1), lo.reshape(-1),
-                jnp.ones(hi.size, bool), k, route_cap, ndev,
+                kvalid, k, route_cap, ndev,
             )
             any_overflow |= ovf
             for which in ("last", "first"):
@@ -237,7 +243,7 @@ def sharded_correct_reads(
                 r = apply_verdicts(r, counts4, cur, off, threshold)
         return r, any_overflow
 
-    return run(reads)
+    return run(reads, valid)
 
 
 # --------------------------------------------------------------------------

@@ -97,24 +97,60 @@ def assemble(
         )
 
 
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad rows so the leading dim divides the mesh size (padding reads
+    are all-A duplicates, collapsed by dedup / masked by validity)."""
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if not pad:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+
+
 def _assemble_inner(reads, config, outdir, log, resume_from):
     N, L = reads.shape
     start = STAGES.index(resume_from) if resume_from else 0
 
+    mesh = None
+    if config.mesh_shape is not None:
+        from sage2_tpu.parallel import make_mesh
+
+        mesh = make_mesh(int(np.prod(config.mesh_shape)))
+        log.log("mesh", n_devices=mesh.devices.size)
+
     # --- stage 1+2: count + correct (SURVEY.md §3.2) -------------------
     if start <= STAGES.index("correct"):
-        r = jnp.asarray(reads.astype(np.int32))
-        with log.timed("count", n_reads=N, read_len=L, k=config.k):
-            table = count_kmers(r, config.k)
-            table.hi.block_until_ready()
-        log.log("count_result", n_unique=int(table.n_unique))
-        with log.timed("correct", rounds=config.correction_rounds):
-            corrected = correct_reads(
-                r, config.k, config.solid_threshold, config.correction_rounds,
-                table=table,
-            )
-            corrected.block_until_ready()
-        corrected_np = np.asarray(corrected, dtype=np.int8)
+        if mesh is not None:
+            from sage2_tpu.parallel import sharded_correct_reads
+
+            nd = mesh.devices.size
+            padded = _pad_rows(reads.astype(np.int32), nd)
+            pvalid = np.arange(padded.shape[0]) < N
+            cap = max(4096, 4 * padded.shape[0] * (L - config.k + 1) // nd)
+            with log.timed("correct", rounds=config.correction_rounds,
+                           sharded=True):
+                corrected, ovf = sharded_correct_reads(
+                    mesh, jnp.asarray(padded), config.k,
+                    config.solid_threshold, config.correction_rounds,
+                    route_cap=cap, query_cap=cap,
+                    valid=jnp.asarray(pvalid),
+                )
+                corrected.block_until_ready()
+            assert not bool(ovf), "sharded correction routing overflow"
+            corrected_np = np.asarray(corrected, dtype=np.int8)[:N]
+        else:
+            r = jnp.asarray(reads.astype(np.int32))
+            with log.timed("count", n_reads=N, read_len=L, k=config.k):
+                table = count_kmers(r, config.k)
+                table.hi.block_until_ready()
+            log.log("count_result", n_unique=int(table.n_unique))
+            with log.timed("correct", rounds=config.correction_rounds):
+                corrected = correct_reads(
+                    r, config.k, config.solid_threshold,
+                    config.correction_rounds, table=table,
+                )
+                corrected.block_until_ready()
+            corrected_np = np.asarray(corrected, dtype=np.int8)
         _save(outdir, "corrected", reads=corrected_np)
         _manifest(outdir, config, "correct")
     else:
@@ -123,13 +159,43 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
     # --- stage 3: dedup + overlaps (SURVEY.md §3.3) --------------------
     if start <= STAGES.index("overlap"):
         rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
-        with log.timed("overlap"):
-            res = find_overlaps_auto(
-                rs.reads2, rs.valid2, config.min_overlap,
-                config.effective_seed_len,
-            )
-            res.src.block_until_ready()
-        assert not bool(res.overflow)
+        if mesh is not None:
+            from sage2_tpu.parallel import sharded_find_overlaps
+
+            nd = mesh.devices.size
+            M2 = rs.reads2.shape[0]
+            padm = (-M2) % nd
+            reads2 = jnp.concatenate(
+                [rs.reads2, jnp.zeros((padm, L), rs.reads2.dtype)]
+            ) if padm else rs.reads2
+            valid2 = jnp.concatenate(
+                [rs.valid2, jnp.zeros((padm,), bool)]
+            ) if padm else rs.valid2
+            join_cap = max(1 << 16, 32 * M2 // nd)
+            with log.timed("overlap", sharded=True):
+                src, dst, ovl_, n_edges, ovf = sharded_find_overlaps(
+                    mesh, reads2, valid2, config.min_overlap,
+                    config.effective_seed_len, route_cap=0,
+                    join_cap=join_cap,
+                )
+                src.block_until_ready()
+            assert not bool(ovf), "sharded overlap capacity overflow"
+
+            class _Res:
+                pass
+
+            res = _Res()
+            res.src, res.dst, res.ovl = src, dst, ovl_
+            res.n_edges, res.n_candidates = n_edges, n_edges
+            res.overflow = ovf
+        else:
+            with log.timed("overlap"):
+                res = find_overlaps_auto(
+                    rs.reads2, rs.valid2, config.min_overlap,
+                    config.effective_seed_len,
+                )
+                res.src.block_until_ready()
+            assert not bool(res.overflow)
         log.log("overlap_result", n_edges=int(res.n_edges),
                 n_candidates=int(res.n_candidates),
                 n_unique_reads=int(rs.n_unique))

@@ -1,0 +1,28 @@
+"""End-to-end assembly on a virtual 8-device mesh must equal single-device."""
+
+from dataclasses import replace
+
+import numpy as np
+import pytest
+
+from sage2_tpu import AssemblyConfig
+from sage2_tpu.data import simulate_genome, simulate_reads
+from sage2_tpu.pipeline import assemble
+
+CFG = AssemblyConfig(
+    k=15, min_overlap=25, min_contig_len=150,
+)
+
+
+def test_assemble_on_mesh_matches_single_device():
+    genome = simulate_genome(2000, seed=501)
+    # 501 reads: deliberately NOT divisible by 8 (exercises padding)
+    reads, _ = simulate_reads(
+        genome, read_len=50, coverage=12.5, error_rate=0.01, seed=502
+    )
+    single, s_stats = assemble(reads, CFG)
+    meshed, m_stats = assemble(reads, replace(CFG, mesh_shape=(8,)))
+    assert s_stats == m_stats
+    assert len(single) == len(meshed)
+    for a, b in zip(single, meshed):
+        np.testing.assert_array_equal(a, b)
