@@ -53,6 +53,10 @@ def main() -> int:
     except Exception as e:
         log("compilation cache unavailable:", e)
 
+    from sage2_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
+
     import jax.numpy as jnp
 
     from sage2_tpu.data import simulate_genome, simulate_reads

@@ -62,6 +62,9 @@ def _setup_platform(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from sage2_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
 
 
 def main(argv: Optional[List[str]] = None) -> int:

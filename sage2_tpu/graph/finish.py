@@ -26,6 +26,7 @@ class Unitig:
     length: int                  # bases
     n_reads: int
     coverage: float              # read-multiplicity bases / length
+    copy_count: int = 1          # expected genome multiplicity (cost model)
 
 
 @dataclasses.dataclass
@@ -189,6 +190,64 @@ def pop_bubbles(
                 if t is not None and t != uid and t in g.unitigs:
                     _remove_unitig(g, t)
                     removed += 1
+    return removed
+
+
+def estimate_single_copy_coverage(g: UnitigGraph, read_len: int) -> float:
+    """Single-copy coverage c1: length-weighted median coverage of long
+    unitigs (>= 2 read lengths); falls back to all unitigs.
+
+    This is the anchor of the SAGE cost model (SURVEY.md §2 "Copy-count /
+    cost model": expected read multiplicity from coverage) — a unitig's
+    expected genome copy number is coverage / c1.
+    """
+    pool = [u for u in g.unitigs.values() if u.length >= 2 * read_len]
+    if not pool:
+        pool = list(g.unitigs.values())
+    if not pool:
+        return 1.0
+    pool.sort(key=lambda u: u.coverage)
+    total = sum(u.length for u in pool)
+    acc = 0
+    for u in pool:
+        acc += u.length
+        if acc * 2 >= total:
+            return max(u.coverage, 1e-9)
+    return max(pool[-1].coverage, 1e-9)
+
+
+def annotate_copy_counts(g: UnitigGraph, c1: float) -> None:
+    """copy_count(U) = round(coverage / c1); 0 flags likely artifacts."""
+    for u in g.unitigs.values():
+        u.copy_count = int(round(u.coverage / c1))
+
+
+def prune_zero_copy_branches(g: UnitigGraph, c1: float,
+                             low_frac: float = 0.35,
+                             high_frac: float = 0.8) -> int:
+    """Cost-model pruning: at a junction, drop a branch edge whose target
+    (resp. source) unitig has coverage < low_frac * c1 while a sibling
+    branch has >= high_frac * c1 — an expected-copy-count-zero branch
+    competing with a real one. Complements sibling-relative dominance
+    pruning when all branches are weak-ish or coverage is noisy.
+    RC-symmetric (applied to out- and in-junctions alike)."""
+    removed = 0
+    to_drop = []
+    for uid in g.unitigs:
+        for edges, forward in ((g.out_edges.get(uid, []), True),
+                               (g.in_edges.get(uid, []), False)):
+            if len(edges) < 2:
+                continue
+            covs = [g.unitigs[v].coverage for (v, _o) in edges]
+            if max(covs) < high_frac * c1:
+                continue
+            for (v, _o), c in zip(list(edges), covs):
+                if c < low_frac * c1:
+                    to_drop.append((uid, v) if forward else (v, uid))
+    for a, b in to_drop:
+        if any(v == b for (v, _o) in g.out_edges.get(a, [])):
+            _remove_edge(g, a, b)
+            removed += 1
     return removed
 
 

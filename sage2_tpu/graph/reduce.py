@@ -35,6 +35,7 @@ class ReducedGraph(NamedTuple):
     dst: jnp.ndarray
     ovl: jnp.ndarray
     n_edges: jnp.ndarray
+    n_expansions: jnp.ndarray  # exact length-2 path count (for sizing)
     overflow: jnp.ndarray  # expansion exceeded capacity
 
 
@@ -101,4 +102,4 @@ def transitive_reduction(
     o_ovl = jnp.where(keep, ovl, 0)
     o_src, o_dst, o_ovl = sort_by_keys([o_src, o_dst, o_ovl])
     n_edges = jnp.sum(keep.astype(jnp.int32))
-    return ReducedGraph(o_src, o_dst, o_ovl, n_edges, overflow)
+    return ReducedGraph(o_src, o_dst, o_ovl, n_edges, total, overflow)

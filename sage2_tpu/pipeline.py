@@ -24,11 +24,14 @@ import numpy as np
 
 from sage2_tpu.config import AssemblyConfig
 from sage2_tpu.graph.finish import (
+    annotate_copy_counts,
     build_unitig_graph,
     emit_contigs,
+    estimate_single_copy_coverage,
     join_paths,
     pop_bubbles,
     prune_weak_branches,
+    prune_zero_copy_branches,
     remove_tips,
 )
 from sage2_tpu.graph.reduce import transitive_reduction
@@ -226,7 +229,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
                 red.src.block_until_ready()
             if not bool(red.overflow):
                 break
-            cap *= 2
+            # jump straight to the kernel's exact expansion count (each
+            # retry is a fresh compile — doubling wastes several)
+            grain = 1 << 16
+            cap = max(
+                cap + grain,
+                -(-int(int(red.n_expansions) * 1.05) // grain) * grain,
+            )
             log.log("reduce_retry", new_capacity=cap)
         log.log("reduce_result", n_edges=int(red.n_edges))
         redges = (np.asarray(red.src), np.asarray(red.dst), np.asarray(red.ovl))
@@ -260,14 +269,18 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
         capn = V // 2
         n_tips = remove_tips(g, capn, config.tip_max_reads)
         n_pruned = 0
+        c1 = estimate_single_copy_coverage(g, L)
+        annotate_copy_counts(g, c1)
         if config.traversal == "mincost":
             n_pruned = prune_weak_branches(g, config.branch_dominance)
+            n_pruned += prune_zero_copy_branches(g, c1)
         n_bub = pop_bubbles(g, capn, config.bubble_max_reads, config.bubble_ratio)
         n_tips += remove_tips(g, capn, config.tip_max_reads)
         paths = join_paths(g)
         contigs = emit_contigs(g, paths, reads2_np, config)
     stats = assembly_stats(contigs)
     log.log("finish_result", n_unitigs=n_unitigs_raw, tips_removed=n_tips,
+            single_copy_coverage=round(c1, 2),
             branches_pruned=n_pruned, bubbles_popped=n_bub, **stats)
     if outdir:
         from sage2_tpu.io.writer import write_fasta
