@@ -44,6 +44,9 @@ from sage2_tpu.ops.sort import (
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
 _I32_MAX = jnp.int32(2**31 - 1)
 
+# last successful candidate capacity per (M, L, min_overlap, seed_len)
+_CAP_MEMO: dict = {}
+
 
 class OverlapResult(NamedTuple):
     """Edge list with static capacity, sorted by (src, dst).
@@ -196,7 +199,7 @@ def seed_keys_from_packs(
 def _prefix_join_parts(
     p_hi: jnp.ndarray, p_lo: jnp.ndarray, p_valid: jnp.ndarray,
     a_hi: jnp.ndarray, a_lo: jnp.ndarray, a_row_valid: jnp.ndarray,
-    seed_bits: int = 64, bucket_bits: int = 22,
+    seed_bits: int = 64, bucket_bits: int | None = None,
 ):
     """Inverted seed join via a direct-mapped bucket table.
 
@@ -217,7 +220,12 @@ def _prefix_join_parts(
     number of candidate B reads per A-side entry.
     """
     Mg = p_hi.shape[0]
-    B = min(bucket_bits, seed_bits, 31)  # int32 bucket ids stay positive
+    if bucket_bits is None:
+        # keep expected collisions per query ~1/32: table ~32x the
+        # prefix count (collision count grows as queries * Mg / 2^B,
+        # i.e. quadratically in Mg for a fixed B)
+        bucket_bits = max(22, Mg.bit_length() + 5)
+    B = min(bucket_bits, seed_bits, 31, 26)  # int32 ids; <=512MB table
     shift = jnp.uint32(32 - B)
     nb = 1 << B
 
@@ -371,9 +379,13 @@ def find_overlaps_auto(
     def round_up(n):
         return max(min_capacity, -(-int(n) // grain) * grain)
 
-    cap = round_up(16 * M)
+    # remember the resolved capacity per problem shape so repeated calls
+    # (benchmarks, multi-batch pipelines) skip the overflow discovery run
+    memo_key = (M, reads2.shape[1], min_overlap, seed_len)
+    cap = _CAP_MEMO.get(memo_key) or round_up(16 * M)
     while True:
         res = _jitted_find(min_overlap, seed_len, cap)(reads2, valid2)
         if not bool(res.overflow):
+            _CAP_MEMO[memo_key] = cap
             return res
         cap = max(round_up(int(res.n_candidates) * 1.05), cap + grain)
