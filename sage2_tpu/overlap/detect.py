@@ -29,7 +29,7 @@ true overlap >= min_overlap produces exactly one candidate.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +196,37 @@ def seed_keys_from_packs(
     return hi, lo
 
 
+def seed_keys_at_positions(
+    shifted: jnp.ndarray, s: int, positions: Sequence[int], L: int
+):
+    """Left-aligned seed keys at an arbitrary static position list.
+
+    Same key convention as seed_keys_from_packs (top-2s-bit-masked
+    left-aligned words) but for non-contiguous positions — used by the
+    strided A-side probe schedule. Returns (hi, lo) of shape
+    (M, len(positions)).
+    """
+    W = shifted.shape[2]
+    his, los = [], []
+    for p in positions:
+        r, w = p % 16, p // 16
+        his.append(shifted[:, r, w])
+        if s > 16:
+            los.append(shifted[:, r, min(w + 1, W - 1)])
+    hi = jnp.stack(his, axis=1)
+    if s < 16:
+        hi = hi & jnp.uint32((0xFFFFFFFF << (32 - 2 * s)) & 0xFFFFFFFF)
+    if s > 16:
+        lo = jnp.stack(los, axis=1)
+        if s < 32:
+            lo = lo & jnp.uint32(
+                (0xFFFFFFFF << (32 - 2 * (s - 16))) & 0xFFFFFFFF
+            )
+    else:
+        lo = jnp.zeros_like(hi)
+    return hi, lo
+
+
 def _prefix_join_parts(
     p_hi: jnp.ndarray, p_lo: jnp.ndarray, p_valid: jnp.ndarray,
     a_hi: jnp.ndarray, a_lo: jnp.ndarray, a_row_valid: jnp.ndarray,
@@ -221,10 +252,11 @@ def _prefix_join_parts(
     """
     Mg = p_hi.shape[0]
     if bucket_bits is None:
-        # keep expected collisions per query ~1/32: table ~32x the
-        # prefix count (collision count grows as queries * Mg / 2^B,
-        # i.e. quadratically in Mg for a fixed B)
-        bucket_bits = max(22, Mg.bit_length() + 5)
+        # balance the start-table scan (2^B elements, ~2ns each) against
+        # bucket-collision candidates (queries * Mg / 2^B, ~40ns each
+        # through expand+verify): optimum at 2^B ~ sqrt(20 * Q * Mg)
+        q = max(int(a_hi.size), 1)
+        bucket_bits = max((20 * q * Mg).bit_length() // 2, 18)
     B = min(bucket_bits, seed_bits, 31, 26)  # int32 ids; <=512MB table
     shift = jnp.uint32(32 - B)
     nb = 1 << B
@@ -260,45 +292,79 @@ def _prefix_join_parts(
     return b_read, lo_idx, counts
 
 
+def auto_stride(min_overlap: int, seed_len: int, pa: int) -> int:
+    """Largest lossless probe stride g: the B side indexes seeds at
+    prefix offsets o in [0, g), so an A-side probe every g positions
+    still discovers every overlap; requires o + s <= min_overlap so the
+    offset seed stays inside the guaranteed match region."""
+    s = min(seed_len, min_overlap, 32)
+    return max(1, min(8, min_overlap - s + 1, pa))
+
+
 def find_overlaps(
     reads2: jnp.ndarray,
     valid2: jnp.ndarray,
     min_overlap: int,
     seed_len: int = 32,
     capacity: int = 1 << 20,
+    stride: int | None = None,
 ) -> OverlapResult:
     """Detect all maximal proper exact suffix-prefix overlaps >= min_overlap.
 
     reads2: (M, L) RC-augmented codes; valid2: (M,) row mask.
     Matches sage2_tpu.refmodel.oracle.oracle_overlaps on the valid rows.
+
+    Strided probe schedule (the device is random-access-bound at
+    ~1e8 ops/s, so probe count dominates stage cost): instead of one
+    B-prefix seed per read probed at every A position p in [1, pa]
+    (M*pa probes), the B table holds g seeds per read (prefix offsets
+    o in [0, g)) and A probes only p in {g, 2g, ...} (M*ceil(pa/g)
+    probes). A hit (a, p) x (b, o) implies overlap start p0 = p - o.
+    Lossless: every true p0 has exactly one (p, o) = (g*ceil(p0/g),
+    p - p0) with o < g <= min_overlap - s + 1, so the offset seed is a
+    within-overlap exact substring.
     """
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
     if min_overlap >= L:
         raise ValueError(f"min_overlap ({min_overlap}) must be < read len ({L})")
 
-    # --- 1+2. B-prefix table + inverted bucket join --------------------
-    pa = L - min_overlap                           # positions 1..pa inclusive
+    pa = L - min_overlap                           # overlap starts 1..pa
+    g = auto_stride(min_overlap, s, pa) if stride is None else stride
+    if not 1 <= g <= min(16, min_overlap - s + 1):
+        raise ValueError(f"stride {g} invalid for min_overlap={min_overlap}, "
+                         f"seed={s}")
+    n_pos = -(-pa // g)                            # A probes at g*(j+1)
+
+    # --- 1+2. B offset-seed table + inverted bucket join ---------------
     shifted = shifted_word_packs(reads2)
-    s_hi, s_lo = seed_keys_from_packs(shifted, s, 0, pa, L)
-    b_read, lo_idx, counts = _prefix_join_parts(
-        s_hi[:, 0], s_lo[:, 0], valid2,
-        s_hi[:, 1:], s_lo[:, 1:], valid2, seed_bits=2 * s,
+    b_hi, b_lo = seed_keys_at_positions(shifted, s, list(range(g)), L)
+    a_hi, a_lo = seed_keys_at_positions(
+        shifted, s, [g * (j + 1) for j in range(n_pos)], L
+    )
+    # B entry id e = b*g + o (row-major flatten of the (M, g) seed grid)
+    b_valid = jnp.repeat(valid2, g) if g > 1 else valid2
+    b_entry, lo_idx, counts = _prefix_join_parts(
+        b_hi.reshape(-1), b_lo.reshape(-1), b_valid,
+        a_hi, a_lo, valid2, seed_bits=2 * s,
     )
     n_candidates = jnp.sum(counts)
     overflow = n_candidates > capacity
 
     entry, rank, cand_valid = expand_by_counts(counts.reshape(-1), capacity)
-    cand_a = entry // pa
-    cand_p = entry % pa + 1
-    b_slot = jnp.minimum(lo_idx.reshape(-1)[entry] + rank, M - 1)
-    cand_b = b_read[b_slot]
-    cand_valid = cand_valid & (cand_a != cand_b)
+    cand_a = entry // n_pos
+    cand_p = (entry % n_pos + 1) * g               # probe position
+    b_slot = jnp.minimum(lo_idx.reshape(-1)[entry] + rank, M * g - 1)
+    e_b = b_entry[b_slot]
+    cand_b = e_b // g
+    cand_p0 = cand_p - (e_b - cand_b * g)          # overlap start p - o
+    cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
+    cand_p0 = jnp.clip(cand_p0, 1, pa)
 
     # --- 3. exact extension --------------------------------------------
-    ovl = L - cand_p
+    ovl = L - cand_p0
     ok = verify_candidates(
-        reads2, cand_a, cand_p, cand_b,
+        reads2, cand_a, cand_p0, cand_b,
         shifted=shifted, words0=shifted[:, 0, :], max_p=pa,
     ) & cand_valid
 
@@ -328,32 +394,34 @@ def count_candidates(
     valid2: jnp.ndarray,
     min_overlap: int,
     seed_len: int = 32,
+    stride: int | None = None,
 ) -> jnp.ndarray:
     """Exact candidate count of the seed join (the cheap first phase of
     the auto-capacity strategy; SURVEY.md §7 "fixed capacities")."""
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
     pa = L - min_overlap
+    g = auto_stride(min_overlap, s, pa) if stride is None else stride
+    n_pos = -(-pa // g)
     shifted = shifted_word_packs(reads2)
-    s_hi, s_lo = seed_keys_from_packs(shifted, s, 0, pa, L)
+    b_hi, b_lo = seed_keys_at_positions(shifted, s, list(range(g)), L)
+    a_hi, a_lo = seed_keys_at_positions(
+        shifted, s, [g * (j + 1) for j in range(n_pos)], L
+    )
+    b_valid = jnp.repeat(valid2, g) if g > 1 else valid2
     _, _, counts = _prefix_join_parts(
-        s_hi[:, 0], s_lo[:, 0], valid2,
-        s_hi[:, 1:], s_lo[:, 1:], valid2, seed_bits=2 * s,
+        b_hi.reshape(-1), b_lo.reshape(-1), b_valid,
+        a_hi, a_lo, valid2, seed_bits=2 * s,
     )
     return jnp.sum(counts)
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_count(min_overlap: int, seed_len: int):
+def _jitted_find(min_overlap: int, seed_len: int, capacity: int,
+                 stride: int | None):
     return jax.jit(
-        lambda r, v: count_candidates(r, v, min_overlap, seed_len)
-    )
-
-
-@functools.lru_cache(maxsize=64)
-def _jitted_find(min_overlap: int, seed_len: int, capacity: int):
-    return jax.jit(
-        lambda r, v: find_overlaps(r, v, min_overlap, seed_len, capacity)
+        lambda r, v: find_overlaps(r, v, min_overlap, seed_len, capacity,
+                                   stride)
     )
 
 
@@ -363,6 +431,7 @@ def find_overlaps_auto(
     min_overlap: int,
     seed_len: int = 32,
     min_capacity: int = 1 << 14,
+    stride: int | None = None,
 ) -> OverlapResult:
     """Single-pass overlap detection with self-sizing candidate capacity.
 
@@ -381,10 +450,10 @@ def find_overlaps_auto(
 
     # remember the resolved capacity per problem shape so repeated calls
     # (benchmarks, multi-batch pipelines) skip the overflow discovery run
-    memo_key = (M, reads2.shape[1], min_overlap, seed_len)
+    memo_key = (M, reads2.shape[1], min_overlap, seed_len, stride)
     cap = _CAP_MEMO.get(memo_key) or round_up(16 * M)
     while True:
-        res = _jitted_find(min_overlap, seed_len, cap)(reads2, valid2)
+        res = _jitted_find(min_overlap, seed_len, cap, stride)(reads2, valid2)
         if not bool(res.overflow):
             _CAP_MEMO[memo_key] = cap
             return res

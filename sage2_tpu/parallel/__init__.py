@@ -6,6 +6,7 @@ from sage2_tpu.parallel.sharded import (
     sharded_count_kmers,
     sharded_correct_reads,
     sharded_find_overlaps,
+    sharded_transitive_reduction,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "sharded_count_kmers",
     "sharded_correct_reads",
     "sharded_find_overlaps",
+    "sharded_transitive_reduction",
 ]

@@ -247,6 +247,119 @@ def sharded_correct_reads(
 
 
 # --------------------------------------------------------------------------
+# sharded transitive reduction
+# --------------------------------------------------------------------------
+
+
+def sharded_transitive_reduction(
+    mesh: Mesh,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    ovl: jnp.ndarray,
+    n_vertices: int,
+    read_len: int,
+    capacity_per_device: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray, jnp.ndarray]:
+    """Distributed Myers transitive reduction (SURVEY.md §3.4).
+
+    The length-2-path EXPANSION — the stage's quadratic hot loop — is
+    sharded: each device expands only its slice of the edge list against
+    the replicated (src, sl)-sorted adjacency, probes membership, and
+    scatters local removal hits; masks are psum-OR'd so the surviving
+    edge set is bit-identical to graph.reduce.transitive_reduction (one
+    pass over the ORIGINAL edge set, order-independent removal).
+
+    Inputs are the globally (src, dst)-sorted padded edge list
+    (replicated); E must divide the mesh size. Returns replicated
+    (src, dst, ovl, n_edges, n_expansions, overflow).
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    E = src.shape[0]
+    V = n_vertices
+    if E % ndev:
+        raise ValueError(f"edge capacity {E} must divide mesh size {ndev}")
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(src_l, dst_l, ovl_l):
+        e_l = src_l.shape[0]
+        dev = jax.lax.axis_index(axis)
+        base = dev * e_l
+        src_g = jax.lax.all_gather(src_l, axis, tiled=True)
+        dst_g = jax.lax.all_gather(dst_l, axis, tiled=True)
+        ovl_g = jax.lax.all_gather(ovl_l, axis, tiled=True)
+
+        is_edge_g = src_g != _I32_MAX
+        sl_g = jnp.where(is_edge_g, read_len - ovl_g, _I32_MAX)
+        ss_src, ss_sl, ss_dst = sort_by_keys([src_g, sl_g], [dst_g])
+        u = lambda x: x.astype(jnp.uint32)
+        start = lex_searchsorted(
+            u(ss_src), u(ss_sl), u(jnp.arange(V, dtype=jnp.int32)),
+            jnp.zeros(V, jnp.uint32), side="left",
+        )
+        seg = jnp.where(is_edge_g, src_g, V)
+        maxsl = jax.ops.segment_max(
+            jnp.where(is_edge_g, sl_g, -1), jnp.minimum(seg, V),
+            num_segments=V + 1,
+        )[:V]
+        maxsl = jnp.maximum(maxsl, -1)
+
+        # --- sharded expansion over the local edge slice ---------------
+        is_edge = src_l != _I32_MAX
+        sl_l = jnp.where(is_edge, read_len - ovl_l, _I32_MAX)
+        w = jnp.where(is_edge, dst_l, 0)
+        bound = jnp.where(
+            is_edge, maxsl[jnp.minimum(src_l, V - 1)] - sl_l, -1
+        )
+        upto = lex_searchsorted(u(ss_src), u(ss_sl), u(w), u(bound),
+                                side="right")
+        counts = jnp.where(is_edge & (bound >= 0), upto - start[w], 0)
+        total_l = jnp.sum(counts)
+        overflow_l = total_l > capacity_per_device
+
+        e1, rank, valid = expand_by_counts(counts, capacity_per_device)
+        e2 = jnp.minimum(
+            start[jnp.minimum(dst_l[e1], V - 1)] + rank, E - 1
+        )
+        v = src_l[e1]
+        x = ss_dst[e2]
+        sls = sl_l[e1] + ss_sl[e2]
+        valid = valid & (x != v)
+
+        pos = lex_searchsorted(u(src_g), u(dst_g), u(v), u(x), side="left")
+        pos_c = jnp.minimum(pos, E - 1)
+        hit = valid & (src_g[pos_c] == v) & (dst_g[pos_c] == x) & (
+            read_len - ovl_g[pos_c] == sls
+        )
+        removed_l = (
+            jnp.zeros(E, jnp.int32)
+            .at[jnp.where(hit, pos_c, E)]
+            .max(1, mode="drop")
+        )
+        removed = jax.lax.psum(removed_l, axis) > 0
+
+        keep = is_edge_g & ~removed
+        o_src = jnp.where(keep, src_g, _I32_MAX)
+        o_dst = jnp.where(keep, dst_g, _I32_MAX)
+        o_ovl = jnp.where(keep, ovl_g, 0)
+        o_src, o_dst, o_ovl = sort_by_keys([o_src, o_dst, o_ovl])
+        n_edges = jnp.sum(keep.astype(jnp.int32))
+        n_expansions = jax.lax.psum(total_l, axis)
+        overflow = jax.lax.psum(overflow_l.astype(jnp.int32), axis) > 0
+        del base
+        return o_src, o_dst, o_ovl, n_edges, n_expansions, overflow
+
+    return run(src, dst, ovl)
+
+
+# --------------------------------------------------------------------------
 # sharded overlap detection
 # --------------------------------------------------------------------------
 

@@ -221,12 +221,41 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
     if start <= STAGES.index("reduce"):
         cap = config.reduce_capacity
         while True:
-            with log.timed("reduce", capacity=cap):
-                red = transitive_reduction(
-                    jnp.asarray(edges[0]), jnp.asarray(edges[1]),
-                    jnp.asarray(edges[2]), V, L, capacity=cap,
-                )
-                red.src.block_until_ready()
+            if mesh is not None:
+                from sage2_tpu.parallel import sharded_transitive_reduction
+
+                nd = mesh.devices.size
+                e_src, e_dst, e_ovl = (jnp.asarray(e) for e in edges)
+                pad = (-e_src.shape[0]) % nd
+                if pad:
+                    e_src = jnp.concatenate(
+                        [e_src, jnp.full((pad,), 2**31 - 1, e_src.dtype)])
+                    e_dst = jnp.concatenate(
+                        [e_dst, jnp.full((pad,), 2**31 - 1, e_dst.dtype)])
+                    e_ovl = jnp.concatenate(
+                        [e_ovl, jnp.zeros((pad,), e_ovl.dtype)])
+                cap_dev = -(-cap // nd)
+                with log.timed("reduce", capacity=cap, sharded=True):
+                    (r_src, r_dst, r_ovl, r_n, r_exp,
+                     r_ovf) = sharded_transitive_reduction(
+                        mesh, e_src, e_dst, e_ovl, V, L, cap_dev,
+                    )
+                    r_src.block_until_ready()
+
+                class _Red:
+                    pass
+
+                red = _Red()
+                red.src, red.dst, red.ovl = r_src, r_dst, r_ovl
+                red.n_edges, red.n_expansions = r_n, r_exp
+                red.overflow = r_ovf
+            else:
+                with log.timed("reduce", capacity=cap):
+                    red = transitive_reduction(
+                        jnp.asarray(edges[0]), jnp.asarray(edges[1]),
+                        jnp.asarray(edges[2]), V, L, capacity=cap,
+                    )
+                    red.src.block_until_ready()
             if not bool(red.overflow):
                 break
             # jump straight to the kernel's exact expansion count (each
@@ -234,6 +263,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             grain = 1 << 16
             cap = max(
                 cap + grain,
+                # sharded: per-device imbalance can overflow below the
+                # exact global count — doubling covers it
+                2 * cap if mesh is not None else 0,
                 -(-int(int(red.n_expansions) * 1.05) // grain) * grain,
             )
             log.log("reduce_retry", new_capacity=cap)

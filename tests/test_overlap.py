@@ -96,3 +96,38 @@ def test_overflow_flag():
     small = find_overlaps(rs.reads2, rs.valid2, 18, capacity=4)
     assert bool(small.overflow)
     assert int(small.n_candidates) == n_cand  # count is exact even on overflow
+
+
+@pytest.mark.parametrize("stride", [1, 2, 3, 5, 8])
+def test_strided_probe_matches_oracle(stride):
+    # min_overlap > seed_len leaves stride headroom (g <= min_ovl - s + 1)
+    genome = simulate_genome(700, seed=41)
+    reads, _ = simulate_reads(
+        genome, read_len=60, coverage=12, error_rate=0.005, seed=42
+    )
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    res = find_overlaps(
+        rs.reads2, rs.valid2, 40, seed_len=32, capacity=1 << 16,
+        stride=stride,
+    )
+    assert not bool(res.overflow)
+    got = _edges_to_dict(res)
+
+    n_u = int(rs.n_unique)
+    cap = rs.capacity
+    r2 = np.asarray(rs.reads2)
+    valid_rows = np.concatenate([r2[:n_u], r2[cap : cap + n_u]], axis=0)
+    expect_raw = oracle_overlaps(valid_rows, 40)
+    remap = lambda i: i if i < n_u else cap + (i - n_u)
+    expect = {(remap(a), remap(b)): l for (a, b), l in expect_raw.items()}
+    assert got == expect
+
+
+def test_auto_stride_bounds():
+    from sage2_tpu.overlap.detect import auto_stride
+
+    assert auto_stride(40, 32, 60) == 8
+    assert auto_stride(33, 32, 60) == 2
+    assert auto_stride(32, 32, 60) == 1
+    assert auto_stride(20, 32, 20) == 1   # s clamps to min_overlap
+    assert auto_stride(90, 32, 4) == 4    # pa-limited

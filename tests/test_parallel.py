@@ -107,3 +107,44 @@ def test_sharded_overlaps_match_single(mesh):
     )
     assert got == expect
     assert int(n_edges) == int(single.n_edges)
+
+
+def test_sharded_reduction_matches_single(mesh):
+    from sage2_tpu.graph.reduce import transitive_reduction
+    from sage2_tpu.parallel import sharded_transitive_reduction
+
+    reads = _reads(seed=231, err=0.0)
+    rs = prepare_reads(jnp.asarray(reads))
+    res = find_overlaps(rs.reads2, rs.valid2, 16, capacity=1 << 15)
+    assert not bool(res.overflow)
+    V = rs.reads2.shape[0]
+    L = rs.reads2.shape[1]
+    single = transitive_reduction(
+        res.src, res.dst, res.ovl, V, L, capacity=1 << 15
+    )
+    assert not bool(single.overflow)
+
+    src, dst, ovl, n_edges, n_exp, overflow = sharded_transitive_reduction(
+        mesh, res.src, res.dst, res.ovl, V, L, capacity_per_device=1 << 13
+    )
+    assert not bool(overflow)
+    assert int(n_exp) == int(single.n_expansions)
+    assert int(n_edges) == int(single.n_edges)
+    got = _edge_set(np.asarray(src), np.asarray(dst), np.asarray(ovl))
+    expect = _edge_set(
+        np.asarray(single.src), np.asarray(single.dst), np.asarray(single.ovl)
+    )
+    assert got == expect
+
+
+def test_sharded_reduction_overflow_flag(mesh):
+    from sage2_tpu.parallel import sharded_transitive_reduction
+
+    reads = _reads(seed=231, err=0.0)
+    rs = prepare_reads(jnp.asarray(reads))
+    res = find_overlaps(rs.reads2, rs.valid2, 16, capacity=1 << 15)
+    V, L = rs.reads2.shape
+    *_, overflow = sharded_transitive_reduction(
+        mesh, res.src, res.dst, res.ovl, V, L, capacity_per_device=8
+    )
+    assert bool(overflow)
