@@ -291,6 +291,77 @@ def prune_weak_branches(
     return removed
 
 
+def _pair_key(g: UnitigGraph, uid: int, cap: int) -> int:
+    """RC-invariant identity of {uid, twin(uid)}: the minimum vertex id
+    across the pair (shared by both orientations of a unitig)."""
+    mv = min(g.unitigs[uid].vertices)
+    t = twin_uid(g, uid, cap)
+    if t is not None and t in g.unitigs:
+        mv = min(mv, min(g.unitigs[t].vertices))
+    return mv
+
+
+def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
+    """Min-cost contig traversal with expected copy counts (SAGE's
+    minimum-cost-path contig extraction; SURVEY.md §2 "Contig traversal",
+    §3.5).
+
+    Each unitig carries an expected genome multiplicity (copy_count from
+    the coverage cost model); a residual copy budget — shared between a
+    unitig and its reverse-complement twin so traversal is strand-
+    symmetric — limits how often it may be used. Paths start at sources
+    (no in-edges), then any unitig with residual budget, and extend
+    greedily along the cheapest continuation: the out-neighbor with the
+    largest residual budget (strongest remaining coverage support),
+    ties broken by length then RC-invariant id. Repeat unitigs
+    (copy_count >= 2) are therefore traversed by multiple paths, which
+    join_paths — restricted to globally unambiguous chains — cannot do.
+    Deterministic; terminates because every step consumes budget.
+    """
+    resid: Dict[int, int] = {}
+    for uid in g.unitigs:
+        pk = _pair_key(g, uid, cap)
+        resid.setdefault(pk, max(1, g.unitigs[uid].copy_count))
+
+    def take(uid: int) -> None:
+        resid[_pair_key(g, uid, cap)] -= 1
+
+    def budget(uid: int) -> int:
+        return resid[_pair_key(g, uid, cap)]
+
+    def cost_key(uid: int):
+        u = g.unitigs[uid]
+        return (-budget(uid), -u.length, _pair_key(g, uid, cap), uid)
+
+    paths: List[List[int]] = []
+    used: Set[int] = set()
+    src_set = {u for u in g.unitigs
+               if not g.in_edges.get(u) and g.out_edges.get(u)}
+    sources = sorted(src_set)
+    everything = sources + [u for u in sorted(g.unitigs) if u not in src_set]
+    for start in everything:
+        # non-source starts (cycles, leftover repeat budget) only open a
+        # path if never placed — unplaced repeat copies would otherwise
+        # emit fragments duplicating already-emitted sequence
+        while budget(start) > 0 and (start in src_set or start not in used):
+            path = [start]
+            take(start)
+            used.add(start)
+            cur = start
+            while True:
+                outs = [v for (v, _o) in g.out_edges.get(cur, [])
+                        if budget(v) > 0]
+                if not outs:
+                    break
+                nxt = min(outs, key=cost_key)
+                take(nxt)
+                used.add(nxt)
+                path.append(nxt)
+                cur = nxt
+            paths.append(path)
+    return paths
+
+
 def join_paths(g: UnitigGraph) -> List[List[int]]:
     """Merge unambiguous unitig chains after cleaning; returns paths of
     uids (cycles broken at the minimum uid)."""

@@ -308,7 +308,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             n_pruned += prune_zero_copy_branches(g, c1)
         n_bub = pop_bubbles(g, capn, config.bubble_max_reads, config.bubble_ratio)
         n_tips += remove_tips(g, capn, config.tip_max_reads)
-        paths = join_paths(g)
+        if config.traversal == "mincost":
+            from sage2_tpu.graph.finish import mincost_paths
+
+            annotate_copy_counts(g, c1)  # re-annotate post-cleaning
+            paths = mincost_paths(g, capn)
+        else:
+            paths = join_paths(g)
         contigs = emit_contigs(g, paths, reads2_np, config)
     stats = assembly_stats(contigs)
     log.log("finish_result", n_unitigs=n_unitigs_raw, tips_removed=n_tips,

@@ -90,3 +90,55 @@ def test_tips_and_join():
     assert n == 1 and 3 not in g.unitigs
     paths = join_paths(g)
     assert [0, 1, 2] in paths
+
+
+def test_mincost_paths_through_repeat():
+    from sage2_tpu.graph.finish import mincost_paths
+
+    # A -> R -> B and C -> R -> D with R a 2-copy repeat: join_paths
+    # cannot cross the junction; mincost walks R twice.
+    g = _graph(
+        [_u(0, 30.0, 1000, verts=[0]), _u(1, 60.0, 400, verts=[10]),
+         _u(2, 30.0, 1000, verts=[20]), _u(3, 30.0, 1000, verts=[30]),
+         _u(4, 30.0, 1000, verts=[40])],
+        [(0, 1, 40), (3, 1, 40), (1, 2, 40), (1, 4, 40)],
+    )
+    c1 = estimate_single_copy_coverage(g, read_len=100)
+    annotate_copy_counts(g, c1)
+    assert g.unitigs[1].copy_count == 2
+    paths = mincost_paths(g, cap=1000)
+    # both sources traverse the repeat; every path has 3 unitigs
+    starts = sorted(p[0] for p in paths)
+    assert starts == [0, 3]
+    for p in paths:
+        assert len(p) == 3 and p[1] == 1 and p[2] in (2, 4)
+    # conservative join cannot cross it
+    assert all(len(p) == 1 for p in join_paths(g))
+
+
+def test_mincost_paths_linear_and_cycle():
+    from sage2_tpu.graph.finish import mincost_paths
+
+    g = _graph(
+        [_u(0, 30.0, verts=[0]), _u(1, 30.0, verts=[10]),
+         _u(2, 30.0, verts=[20]),
+         _u(5, 30.0, verts=[50]), _u(6, 30.0, verts=[60])],
+        [(0, 1, 40), (1, 2, 40), (5, 6, 40), (6, 5, 40)],
+    )
+    annotate_copy_counts(g, 30.0)
+    paths = mincost_paths(g, cap=1000)
+    assert [0, 1, 2] in paths
+    # the cycle is emitted once, starting at its minimum uid
+    cyc = [p for p in paths if p[0] in (5, 6)]
+    assert cyc == [[5, 6]]
+
+
+def test_mincost_paths_budget_terminates():
+    from sage2_tpu.graph.finish import mincost_paths
+
+    # high-copy self-loop must terminate and respect budget
+    g = _graph([_u(0, 90.0, verts=[0])], [(0, 0, 40)])
+    annotate_copy_counts(g, 30.0)
+    paths = mincost_paths(g, cap=1000)
+    total_uses = sum(len(p) for p in paths)
+    assert total_uses == 3
