@@ -373,11 +373,11 @@ def sharded_find_overlaps(
     route_cap: int,
     join_cap: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Distributed suffix-prefix overlap detection (inverted join).
+    """Distributed suffix-prefix overlap detection (inverted strided join).
 
-    The one-prefix-per-read B-table is small, so it is all_gathered and
-    sorted replicated on every device; each device then joins only its
-    OWN read shard's A-side seed positions against it and verifies
+    The g-offset-seeds-per-read B-table is all_gathered and sorted
+    replicated on every device; each device then joins only its
+    OWN read shard's strided A-side probe positions against it and verifies
     against an all-gathered read replica. All candidates for a pair
     (a, b) arise from a's A-side entries, which live on a's owner — so
     the longest-per-pair reduction is complete locally; edge lists are
@@ -394,9 +394,14 @@ def sharded_find_overlaps(
 
     from sage2_tpu.overlap.detect import (
         _prefix_join_parts,
-        seed_keys_from_packs,
+        auto_stride,
+        seed_keys_at_positions,
         shifted_word_packs,
     )
+
+    pa = L - min_overlap
+    g = auto_stride(min_overlap, s, pa)
+    n_pos = -(-pa // g)
 
     @jax.jit
     @functools.partial(
@@ -412,15 +417,25 @@ def sharded_find_overlaps(
         all_reads = jax.lax.all_gather(reads_local, axis, tiled=True)
         all_valid = jax.lax.all_gather(valid_local, axis, tiled=True)
 
-        pa = L - min_overlap
         shifted_l = shifted_word_packs(reads_local)
-        s_hi_l, s_lo_l = seed_keys_from_packs(shifted_l, s, 0, pa, L)
-        # replicated global prefix table (small: one entry per read)
-        hi0 = jax.lax.all_gather(s_hi_l[:, 0], axis, tiled=True)
-        lo0 = jax.lax.all_gather(s_lo_l[:, 0], axis, tiled=True)
-        b_read, lo_idx_l, counts_l = _prefix_join_parts(
-            hi0, lo0, all_valid,
-            s_hi_l[:, 1:], s_lo_l[:, 1:], valid_local, seed_bits=2 * s,
+        # strided schedule (detect.find_overlaps): replicated global
+        # B-table of g offset seeds per read; local A probes every g-th
+        # position. Entry ids e = b*g + o stay globally consistent
+        # because the all_gather concatenates in device order.
+        b_hi_l, b_lo_l = seed_keys_at_positions(
+            shifted_l, s, list(range(g)), L
+        )
+        a_hi_l, a_lo_l = seed_keys_at_positions(
+            shifted_l, s, [g * (j + 1) for j in range(n_pos)], L
+        )
+        b_hi = jax.lax.all_gather(b_hi_l, axis, tiled=True)
+        b_lo = jax.lax.all_gather(b_lo_l, axis, tiled=True)
+        b_valid = (
+            jnp.repeat(all_valid, g) if g > 1 else all_valid
+        )
+        b_entry, lo_idx_l, counts_l = _prefix_join_parts(
+            b_hi.reshape(-1), b_lo.reshape(-1), b_valid,
+            a_hi_l, a_lo_l, valid_local, seed_bits=2 * s,
         )
         counts = counts_l
         n_cand_local = jnp.sum(counts)
@@ -429,14 +444,21 @@ def sharded_find_overlaps(
         entry, rank, cand_valid = expand_by_counts(
             counts.reshape(-1), join_cap
         )
-        cand_a = base + entry // pa
-        cand_p = entry % pa + 1
-        b_slot = jnp.minimum(lo_idx_l.reshape(-1)[entry] + rank, M - 1)
-        cand_b = b_read[b_slot]
-        cand_valid = cand_valid & (cand_a != cand_b)
+        cand_a = base + entry // n_pos
+        cand_p = (entry % n_pos + 1) * g
+        b_slot = jnp.minimum(lo_idx_l.reshape(-1)[entry] + rank, M * g - 1)
+        e_b = b_entry[b_slot]
+        cand_b = e_b // g
+        cand_p0 = cand_p - (e_b - cand_b * g)
+        cand_valid = (
+            cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
+        )
+        cand_p0 = jnp.clip(cand_p0, 1, pa)
 
-        ok = verify_candidates(all_reads, cand_a, cand_p, cand_b) & cand_valid
-        ovl = L - cand_p
+        ok = verify_candidates(
+            all_reads, cand_a, cand_p0, cand_b
+        ) & cand_valid
+        ovl = L - cand_p0
 
         e_src = jnp.where(ok, cand_a, _I32_MAX)
         e_dst = jnp.where(ok, cand_b, _I32_MAX)

@@ -83,8 +83,8 @@ def main():
     # join sub-pieces
     def join_sort(b_hi, b_lo, valid2):
         b_valid = jnp.repeat(valid2, g) if g > 1 else valid2
-        q_hi = jnp.where(b_valid, b_hi.reshape(-1), jnp.uint32(-1))
-        q_lo = jnp.where(b_valid, b_lo.reshape(-1), jnp.uint32(-1))
+        q_hi = jnp.where(b_valid, b_hi.reshape(-1), jnp.uint32(0xFFFFFFFF))
+        q_lo = jnp.where(b_valid, b_lo.reshape(-1), jnp.uint32(0xFFFFFFFF))
         inval = (~b_valid).astype(jnp.uint32)
         Mg = q_hi.shape[0]
         return sort_by_keys(
