@@ -118,10 +118,13 @@ def verify_candidates(
 
     t16 = jnp.arange(W, dtype=jnp.int32)[None, :]
 
+    Mb = words0.shape[0]  # may exceed M when words0 is a global replica
+                          # under chunked/sharded verification
+
     def body(xs):
         a, p, b = xs
         a_c = jnp.clip(a, 0, M - 1)
-        b_c = jnp.clip(b, 0, M - 1)
+        b_c = jnp.clip(b, 0, Mb - 1)
         r = p & 15
         w0 = p >> 4
         aw = shifted_flat[a_c * 16 + r]           # (c, W) row gather
@@ -250,24 +253,67 @@ def _prefix_join_parts(
     prefix key; lo_idx/counts shaped like a_hi — bucket start slot and
     number of candidate B reads per A-side entry.
     """
-    Mg = p_hi.shape[0]
+    B = _pick_bucket_bits(
+        p_hi.shape[0], max(int(a_hi.size), 1), seed_bits, bucket_bits
+    )
+    st = build_seed_table(p_hi, p_lo, p_valid, B)
+    lo_idx, counts = probe_seed_table(st, a_hi, a_row_valid)
+    return st.entry, lo_idx, counts
+
+
+def _pick_bucket_bits(
+    n_table: int, n_queries: int, seed_bits: int, bucket_bits: int | None
+) -> int:
     if bucket_bits is None:
         # balance the start-table scan (2^B elements, ~2ns each) against
-        # bucket-collision candidates (queries * Mg / 2^B, ~40ns each
-        # through expand+verify): optimum at 2^B ~ sqrt(20 * Q * Mg)
-        q = max(int(a_hi.size), 1)
-        bucket_bits = max((20 * q * Mg).bit_length() // 2, 18)
-    B = min(bucket_bits, seed_bits, 31, 26)  # int32 ids; <=512MB table
-    shift = jnp.uint32(32 - B)
-    nb = 1 << B
+        # bucket-collision candidates (queries * n_table / 2^B, ~40ns
+        # each through expand+verify): optimum at 2^B ~ sqrt(20 * Q * T)
+        bucket_bits = max(
+            (20 * n_queries * max(n_table, 1)).bit_length() // 2, 18
+        )
+    return min(bucket_bits, seed_bits, 31, 26)  # int32 ids; <=512MB table
 
+
+class SeedTable(NamedTuple):
+    """Direct-mapped bucket index over sorted seed keys.
+
+    entry: (T,) original entry ids in key-sorted order (invalid last);
+    packed: (2^B, 2) int32 — per bucket [start slot, entry count];
+    bucket_bits: static B.
+    """
+
+    entry: jnp.ndarray
+    packed: jnp.ndarray
+    bucket_bits: int
+
+
+def build_seed_table(
+    p_hi: jnp.ndarray, p_lo: jnp.ndarray, p_valid: jnp.ndarray,
+    bucket_bits: int,
+) -> SeedTable:
+    """Sort seed keys and build the bucket start table."""
     q_hi = jnp.where(p_valid, p_hi, _U32_MAX)
     q_lo = jnp.where(p_valid, p_lo, _U32_MAX)
     inval = (~p_valid).astype(jnp.uint32)
+    Mg = p_hi.shape[0]
     b_hi, _, _, b_read, b_val = sort_by_keys(
         [q_hi, q_lo, inval],
         [jnp.arange(Mg, dtype=jnp.int32), p_valid.astype(jnp.int32)],
     )
+    return table_from_sorted(b_hi, b_read, b_val, bucket_bits)
+
+
+def table_from_sorted(
+    b_hi: jnp.ndarray, b_entry: jnp.ndarray, b_val: jnp.ndarray,
+    bucket_bits: int,
+) -> SeedTable:
+    """Bucket start table over an ALREADY key-sorted entry list (valid
+    entries first). Split out so chunk-merged (streamed) tables reuse it
+    (stream.find_overlaps_chunked)."""
+    B = bucket_bits
+    Mg = b_hi.shape[0]
+    shift = jnp.uint32(32 - B)
+    nb = 1 << B
     n_valid = jnp.sum(b_val)
 
     bucket = (b_hi >> shift).astype(jnp.int32)
@@ -284,12 +330,19 @@ def _prefix_join_parts(
     # pack (start, count) as one 2-column table: each query is a single
     # row gather instead of two separate 6M-element table gathers
     packed = jnp.stack([start[:-1], start[1:] - start[:-1]], axis=1)
+    return SeedTable(b_entry, packed, B)
 
+
+def probe_seed_table(
+    st: SeedTable, a_hi: jnp.ndarray, a_row_valid: jnp.ndarray
+):
+    """One row gather per query: (bucket start slot, candidate count)."""
+    shift = jnp.uint32(32 - st.bucket_bits)
     qb = (a_hi >> shift).astype(jnp.int32)
-    row = packed[qb]
+    row = st.packed[qb]
     lo_idx = row[..., 0]
     counts = jnp.where(a_row_valid[..., None], row[..., 1], 0)
-    return b_read, lo_idx, counts
+    return lo_idx, counts
 
 
 def auto_stride(min_overlap: int, seed_len: int, pa: int) -> int:

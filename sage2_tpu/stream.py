@@ -19,7 +19,11 @@ import numpy as np
 from sage2_tpu.kmer.count import SENTINEL, KmerTable, count_from_keys
 from sage2_tpu.kmer.correct import correct_reads
 from sage2_tpu.ops import bitpack
-from sage2_tpu.ops.sort import sort_by_keys, unique_sorted_pairs
+from sage2_tpu.ops.sort import (
+    expand_by_counts,
+    sort_by_keys,
+    unique_sorted_pairs,
+)
 
 
 def _merge_tables(tables: List[KmerTable], k: int) -> KmerTable:
@@ -74,6 +78,133 @@ def _compact(table: KmerTable) -> KmerTable:
         table.hi[:cap], table.lo[:cap], table.count[:cap],
         table.n_unique, table.k,
     )
+
+
+def find_overlaps_chunked(
+    reads2: np.ndarray,
+    valid2: np.ndarray,
+    min_overlap: int,
+    chunk_reads: int,
+    seed_len: int = 32,
+    capacity_per_chunk: int = 1 << 20,
+    stride: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]:
+    """Streamed strided overlap detection for reads larger than HBM.
+
+    Device residency is bounded by: the global seed table (g entries/read,
+    12 B each), the first-shift word packs (words0, W uint32/read, needed
+    for B-side verification), the bucket start table, and ONE read chunk's
+    full shifted packs + candidates. The per-read 16-shift packs — the
+    largest in-core array — and probe/expand temporaries exist only per
+    chunk.
+
+    Exactness: every candidate (a, b) arises from a's probes, which all
+    live in a's chunk, so the longest-per-pair reduction is complete per
+    chunk; per-chunk edge lists concatenate into the final globally
+    sorted list. Results are bit-identical to overlap.find_overlaps
+    (tested).
+
+    Returns (src, dst, ovl, n_edges, overflow) as host arrays.
+    """
+    from sage2_tpu.overlap import detect
+
+    M, L = reads2.shape
+    s = min(seed_len, min_overlap, 32)
+    pa = L - min_overlap
+    g = detect.auto_stride(min_overlap, s, pa) if stride is None else stride
+    n_pos = -(-pa // g)
+    I32_MAX = np.int32(2**31 - 1)
+
+    # --- pass 1: chunked B-side seed keys; merge-sorted global table ---
+    run: Optional[Tuple[jnp.ndarray, ...]] = None  # (hi, lo, inval, entry, val)
+    words0_parts = []
+    for i in range(0, M, chunk_reads):
+        chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
+        cvalid = jnp.asarray(valid2[i : i + chunk_reads])
+        shifted = detect.shifted_word_packs(chunk)
+        words0_parts.append(shifted[:, 0, :])
+        b_hi, b_lo = detect.seed_keys_at_positions(
+            shifted, s, list(range(g)), L
+        )
+        ev = jnp.repeat(cvalid, g) if g > 1 else cvalid
+        hi = jnp.where(ev, b_hi.reshape(-1), jnp.uint32(0xFFFFFFFF))
+        lo = jnp.where(ev, b_lo.reshape(-1), jnp.uint32(0xFFFFFFFF))
+        inval = (~ev).astype(jnp.uint32)
+        entry = i * g + jnp.arange(hi.shape[0], dtype=jnp.int32)
+        part = sort_by_keys(
+            [hi, lo, inval], [entry, ev.astype(jnp.int32)]
+        )
+        if run is None:
+            run = tuple(part)
+        else:
+            merged = [jnp.concatenate([a, b]) for a, b in zip(run, part)]
+            run = tuple(sort_by_keys(merged[:3], merged[3:]))
+    assert run is not None, "no reads"
+    b_hi_sorted, _, _, b_entry, b_val = run
+    B = detect._pick_bucket_bits(M * g, M * n_pos, 2 * s, None)
+    st = detect.table_from_sorted(b_hi_sorted, b_entry, b_val, B)
+    words0 = jnp.concatenate(words0_parts, axis=0)
+    del words0_parts, run
+
+    # --- pass 2: per-chunk probe + expand + verify + reduce -------------
+    chunks_out = []
+    n_edges_total = 0
+    overflow = False
+    for i in range(0, M, chunk_reads):
+        chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
+        cvalid = jnp.asarray(valid2[i : i + chunk_reads])
+        mc = chunk.shape[0]
+        shifted = detect.shifted_word_packs(chunk)
+        a_hi, a_lo = detect.seed_keys_at_positions(
+            shifted, s, [g * (j + 1) for j in range(n_pos)], L
+        )
+        lo_idx, counts = detect.probe_seed_table(st, a_hi, cvalid)
+        n_cand = int(jnp.sum(counts))
+        if n_cand > capacity_per_chunk:
+            overflow = True
+        entry, rank, cand_valid = expand_by_counts(
+            counts.reshape(-1), capacity_per_chunk
+        )
+        cand_a = i + entry // n_pos                       # global id
+        cand_p = (entry % n_pos + 1) * g
+        b_slot = jnp.minimum(lo_idx.reshape(-1)[entry] + rank, M * g - 1)
+        e_b = st.entry[b_slot]
+        cand_b = e_b // g
+        cand_p0 = cand_p - (e_b - cand_b * g)
+        cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
+        cand_p0 = jnp.clip(cand_p0, 1, pa)
+
+        ok = detect.verify_candidates(
+            chunk, cand_a - i, cand_p0, cand_b,
+            shifted=shifted, words0=words0, max_p=pa,
+        ) & cand_valid
+
+        ovl = L - cand_p0
+        e_src = jnp.where(ok, cand_a, I32_MAX)
+        e_dst = jnp.where(ok, cand_b, I32_MAX)
+        e_ovl = jnp.where(ok, ovl, 0)
+        e_src, e_dst, e_ovl = sort_by_keys([e_src, e_dst, e_ovl])
+        nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), I32_MAX)])
+        nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), I32_MAX)])
+        keep = ((e_src != nxt_src) | (e_dst != nxt_dst)) & (e_src != I32_MAX)
+        n_keep = int(jnp.sum(keep.astype(jnp.int32)))
+        n_edges_total += n_keep
+        k_src = jnp.where(keep, e_src, I32_MAX)
+        k_dst = jnp.where(keep, e_dst, I32_MAX)
+        k_ovl = jnp.where(keep, e_ovl, 0)
+        k_src, k_dst, k_ovl = sort_by_keys([k_src, k_dst, k_ovl])
+        chunks_out.append((
+            np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
+            np.asarray(k_ovl[:n_keep]),
+        ))
+        del shifted, chunk
+
+    # chunks are processed in ascending a-range, so per-chunk sorted edge
+    # lists concatenate into a globally (src, dst)-sorted list
+    src = np.concatenate([c[0] for c in chunks_out])
+    dst = np.concatenate([c[1] for c in chunks_out])
+    ovl = np.concatenate([c[2] for c in chunks_out])
+    return src, dst, ovl, n_edges_total, overflow
 
 
 def correct_reads_chunked(

@@ -39,3 +39,44 @@ def test_chunked_correct_matches_incore(chunk):
     incore = np.asarray(correct_reads(jnp.asarray(reads), 11, 3, 2))
     chunked = correct_reads_chunked(reads, 11, 3, 2, chunk)
     np.testing.assert_array_equal(chunked, incore)
+
+
+@pytest.mark.parametrize("chunk,stride", [(64, None), (300, None), (128, 4)])
+def test_chunked_overlaps_match_incore(chunk, stride):
+    from sage2_tpu.overlap import find_overlaps, prepare_reads
+    from sage2_tpu.stream import find_overlaps_chunked
+
+    genome = simulate_genome(700, seed=421)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=12,
+                              error_rate=0.005, seed=422)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    incore = find_overlaps(rs.reads2, rs.valid2, 40, capacity=1 << 16,
+                           stride=stride)
+    assert not bool(incore.overflow)
+    n = int(incore.n_edges)
+    expect = list(zip(np.asarray(incore.src)[:n].tolist(),
+                      np.asarray(incore.dst)[:n].tolist(),
+                      np.asarray(incore.ovl)[:n].tolist()))
+
+    src, dst, ovl, n_edges, overflow = find_overlaps_chunked(
+        np.asarray(rs.reads2), np.asarray(rs.valid2), 40,
+        chunk_reads=chunk, capacity_per_chunk=1 << 15, stride=stride,
+    )
+    assert not overflow
+    assert n_edges == n
+    got = list(zip(src.tolist(), dst.tolist(), ovl.tolist()))
+    assert got == expect  # identical AND identically ordered
+
+
+def test_chunked_overlaps_overflow_flag():
+    from sage2_tpu.overlap import prepare_reads
+    from sage2_tpu.stream import find_overlaps_chunked
+
+    genome = simulate_genome(500, seed=431)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=10, seed=432)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    *_, overflow = find_overlaps_chunked(
+        np.asarray(rs.reads2), np.asarray(rs.valid2), 40,
+        chunk_reads=64, capacity_per_chunk=8,
+    )
+    assert overflow
