@@ -140,6 +140,37 @@ def expand_by_counts(
     return group_c, rank, valid
 
 
+def expand_with_payload(
+    counts: jnp.ndarray, payload: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """expand_by_counts fused with a per-group payload lookup.
+
+    Returns (group, rank, payload[group], valid). The group's start and
+    payload are packed into one 2-column row so each output slot costs a
+    single row gather instead of two 1-wide gathers — random-access op
+    count is the dominant stage cost on this device (SURVEY.md §9).
+    """
+    G = counts.shape[0]
+    offsets = jnp.cumsum(counts)
+    total = offsets[-1] if G > 0 else jnp.int32(0)
+    starts = offsets - counts
+    packed = jnp.stack([starts, payload], axis=1)
+    nonempty = (counts > 0) & (starts < capacity)
+    scatter_idx = jnp.where(nonempty, starts, capacity)
+    init = (
+        jnp.full(capacity + 1, -1, jnp.int32)
+        .at[scatter_idx]
+        .max(jnp.arange(G, dtype=jnp.int32))[:capacity]
+    )
+    group = jax.lax.cummax(init)
+    group_c = jnp.clip(group, 0, G - 1)
+    row = packed[group_c]
+    j = jnp.arange(capacity, dtype=jnp.int32)
+    rank = j - row[:, 0]
+    valid = (j < total) & (group >= 0)
+    return group_c, rank, row[:, 1], valid
+
+
 def words_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Lexicographic a < b over the last (word) axis; any leading shape."""
     W = a.shape[-1]

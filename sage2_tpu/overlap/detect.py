@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from sage2_tpu.ops import bitpack
 from sage2_tpu.ops.sort import (
     expand_by_counts,
+    expand_with_payload,
     lex_searchsorted,
     sort_by_keys,
 )
@@ -404,10 +405,12 @@ def find_overlaps(
     n_candidates = jnp.sum(counts)
     overflow = n_candidates > capacity
 
-    entry, rank, cand_valid = expand_by_counts(counts.reshape(-1), capacity)
+    entry, rank, lo_of_entry, cand_valid = expand_with_payload(
+        counts.reshape(-1), lo_idx.reshape(-1), capacity
+    )
     cand_a = entry // n_pos
     cand_p = (entry % n_pos + 1) * g               # probe position
-    b_slot = jnp.minimum(lo_idx.reshape(-1)[entry] + rank, M * g - 1)
+    b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
     e_b = b_entry[b_slot]
     cand_b = e_b // g
     cand_p0 = cand_p - (e_b - cand_b * g)          # overlap start p - o

@@ -34,7 +34,12 @@ from sage2_tpu.kmer.correct import (
     variant_keys_last,
 )
 from sage2_tpu.ops import bitpack
-from sage2_tpu.ops.sort import expand_by_counts, lex_searchsorted, sort_by_keys
+from sage2_tpu.ops.sort import (
+    expand_by_counts,
+    expand_with_payload,
+    lex_searchsorted,
+    sort_by_keys,
+)
 from sage2_tpu.overlap.detect import verify_candidates
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
@@ -441,12 +446,12 @@ def sharded_find_overlaps(
         n_cand_local = jnp.sum(counts)
         join_overflow = n_cand_local > join_cap
 
-        entry, rank, cand_valid = expand_by_counts(
-            counts.reshape(-1), join_cap
+        entry, rank, lo_of_entry, cand_valid = expand_with_payload(
+            counts.reshape(-1), lo_idx_l.reshape(-1), join_cap
         )
         cand_a = base + entry // n_pos
         cand_p = (entry % n_pos + 1) * g
-        b_slot = jnp.minimum(lo_idx_l.reshape(-1)[entry] + rank, M * g - 1)
+        b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
         e_b = b_entry[b_slot]
         cand_b = e_b // g
         cand_p0 = cand_p - (e_b - cand_b * g)

@@ -20,7 +20,7 @@ from sage2_tpu.kmer.count import SENTINEL, KmerTable, count_from_keys
 from sage2_tpu.kmer.correct import correct_reads
 from sage2_tpu.ops import bitpack
 from sage2_tpu.ops.sort import (
-    expand_by_counts,
+    expand_with_payload,
     sort_by_keys,
     unique_sorted_pairs,
 )
@@ -162,12 +162,12 @@ def find_overlaps_chunked(
         n_cand = int(jnp.sum(counts))
         if n_cand > capacity_per_chunk:
             overflow = True
-        entry, rank, cand_valid = expand_by_counts(
-            counts.reshape(-1), capacity_per_chunk
+        entry, rank, lo_of_entry, cand_valid = expand_with_payload(
+            counts.reshape(-1), lo_idx.reshape(-1), capacity_per_chunk
         )
         cand_a = i + entry // n_pos                       # global id
         cand_p = (entry % n_pos + 1) * g
-        b_slot = jnp.minimum(lo_idx.reshape(-1)[entry] + rank, M * g - 1)
+        b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
         e_b = st.entry[b_slot]
         cand_b = e_b // g
         cand_p0 = cand_p - (e_b - cand_b * g)
