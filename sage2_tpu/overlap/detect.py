@@ -94,6 +94,7 @@ def verify_candidates(
     shifted: jnp.ndarray | None = None,
     words0: jnp.ndarray | None = None,
     max_p: int | None = None,
+    b_words: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Exact-extension check: reads2[a][p:] == reads2[b][:L-p].
 
@@ -123,13 +124,14 @@ def verify_candidates(
                           # under chunked/sharded verification
 
     def body(xs):
-        a, p, b = xs
+        a, p, b, bw = xs
         a_c = jnp.clip(a, 0, M - 1)
         b_c = jnp.clip(b, 0, Mb - 1)
         r = p & 15
         w0 = p >> 4
         aw = shifted_flat[a_c * 16 + r]           # (c, W) row gather
-        bw = words0[b_c]                          # (c, W) row gather
+        if bw is None:                            # caller pre-gathered?
+            bw = words0[b_c]                      # (c, W) row gather
         # register word-shift: a_shift[:, t] = aw[:, t + w0]
         a_shift = aw
         for k in range(1, max_w0 + 1):
@@ -149,20 +151,27 @@ def verify_candidates(
         return jnp.all(ok_word, axis=1)
 
     if C <= chunk:
-        return body((cand_a, cand_p, cand_b))
+        return body((cand_a, cand_p, cand_b, b_words))
 
     n_chunks = -(-C // chunk)
     pad = n_chunks * chunk - C
 
     def pad_to(x, fill):
-        return jnp.concatenate(
-            [x, jnp.full((pad,), fill, x.dtype)]
-        ) if pad else x
+        if not pad:
+            return x
+        fill_block = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, fill_block])
 
     ca = pad_to(cand_a, 0).reshape(n_chunks, chunk)
     cp = pad_to(cand_p, L - 1).reshape(n_chunks, chunk)
     cb = pad_to(cand_b, 0).reshape(n_chunks, chunk)
-    ok = jax.lax.map(body, (ca, cp, cb)).reshape(-1)
+    if b_words is None:
+        ok = jax.lax.map(
+            lambda xs: body(xs + (None,)), (ca, cp, cb)
+        ).reshape(-1)
+    else:
+        bw = pad_to(b_words, 0).reshape(n_chunks, chunk, W)
+        ok = jax.lax.map(body, (ca, cp, cb, bw)).reshape(-1)
     return ok[:C]
 
 
@@ -297,10 +306,13 @@ def build_seed_table(
     q_lo = jnp.where(p_valid, p_lo, _U32_MAX)
     inval = (~p_valid).astype(jnp.uint32)
     Mg = p_hi.shape[0]
-    b_hi, _, _, b_read, b_val = sort_by_keys(
-        [q_hi, q_lo, inval],
-        [jnp.arange(Mg, dtype=jnp.int32), p_valid.astype(jnp.int32)],
+    # the inval key sorts invalid entries strictly last, so validity per
+    # slot is just slot < n_valid — no need to carry it through the sort
+    b_hi, _, _, b_read = sort_by_keys(
+        [q_hi, q_lo, inval], [jnp.arange(Mg, dtype=jnp.int32)]
     )
+    n_valid = jnp.sum(p_valid.astype(jnp.int32))
+    b_val = (jnp.arange(Mg, dtype=jnp.int32) < n_valid).astype(jnp.int32)
     return table_from_sorted(b_hi, b_read, b_val, bucket_bits)
 
 
@@ -405,13 +417,27 @@ def find_overlaps(
     n_candidates = jnp.sum(counts)
     overflow = n_candidates > capacity
 
+    # slot slab: [entry id | owner read's prefix words] per sorted slot,
+    # so each candidate's entry decode AND B-side verification words cost
+    # ONE row gather (vs separate entry + words0 gathers; random-access
+    # op count dominates, SURVEY.md §9). Build cost: Mg row gathers,
+    # amortized over ~candidates >> Mg.
+    words0 = shifted[:, 0, :]
+    slab = jnp.concatenate(
+        [b_entry[:, None].astype(jnp.uint32),
+         words0[jnp.minimum(b_entry // g, M - 1)]],
+        axis=1,
+    )
+
     entry, rank, lo_of_entry, cand_valid = expand_with_payload(
         counts.reshape(-1), lo_idx.reshape(-1), capacity
     )
     cand_a = entry // n_pos
     cand_p = (entry % n_pos + 1) * g               # probe position
     b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
-    e_b = b_entry[b_slot]
+    row = slab[b_slot]
+    e_b = row[:, 0].astype(jnp.int32)
+    b_words = row[:, 1:]
     cand_b = e_b // g
     cand_p0 = cand_p - (e_b - cand_b * g)          # overlap start p - o
     cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
@@ -421,7 +447,7 @@ def find_overlaps(
     ovl = L - cand_p0
     ok = verify_candidates(
         reads2, cand_a, cand_p0, cand_b,
-        shifted=shifted, words0=shifted[:, 0, :], max_p=pa,
+        shifted=shifted, words0=words0, max_p=pa, b_words=b_words,
     ) & cand_valid
 
     # --- 4. longest-overlap reduction per (src, dst) -------------------

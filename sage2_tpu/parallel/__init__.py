@@ -1,7 +1,7 @@
 """Multi-device parallelism: mesh construction and sharded pipeline stages
 (SURVEY.md §2 parallelism table, §5 "Distributed communication backend")."""
 
-from sage2_tpu.parallel.mesh import make_mesh
+from sage2_tpu.parallel.mesh import init_distributed, make_mesh
 from sage2_tpu.parallel.sharded import (
     sharded_count_kmers,
     sharded_correct_reads,
@@ -10,6 +10,7 @@ from sage2_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "sharded_count_kmers",
     "sharded_correct_reads",

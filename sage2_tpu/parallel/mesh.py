@@ -18,6 +18,36 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize jax.distributed for a real multi-host slice.
+
+    This is the rebuild's MPI_Init (SURVEY.md §3.1 "MPI rank setup"):
+    on TPU pods the three parameters come from the scheduling
+    environment automatically (jax.distributed.initialize() with no
+    args); pass them explicitly for manual bring-up. Returns the
+    process count. Safe to call when already initialized or on a
+    single-process run (no-op, returns current count).
+    """
+    import jax
+
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+    return jax.process_count()
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Tuple[str, ...] = (DATA_AXIS,),

@@ -383,7 +383,7 @@ def sharded_find_overlaps(
     The g-offset-seeds-per-read B-table is all_gathered and sorted
     replicated on every device; each device then joins only its
     OWN read shard's strided A-side probe positions against it and verifies
-    against an all-gathered read replica. All candidates for a pair
+    against an all-gathered word-packed prefix replica. All candidates for a pair
     (a, b) arise from a's A-side entries, which live on a's owner — so
     the longest-per-pair reduction is complete locally; edge lists are
     all_gathered and globally sorted for a replicated deterministic
@@ -419,7 +419,6 @@ def sharded_find_overlaps(
         m_local = reads_local.shape[0]
         dev = jax.lax.axis_index(axis)
         base = dev * m_local
-        all_reads = jax.lax.all_gather(reads_local, axis, tiled=True)
         all_valid = jax.lax.all_gather(valid_local, axis, tiled=True)
 
         shifted_l = shifted_word_packs(reads_local)
@@ -446,13 +445,26 @@ def sharded_find_overlaps(
         n_cand_local = jnp.sum(counts)
         join_overflow = n_cand_local > join_cap
 
+        # slot slab with embedded prefix words (detect.find_overlaps).
+        # Only word-packed prefixes cross devices (W uint32 per read,
+        # ~14x smaller than gathering the reads themselves).
+        words0 = jax.lax.all_gather(
+            bitpack.pack_read_words(reads_local), axis, tiled=True
+        )
+        slab = jnp.concatenate(
+            [b_entry[:, None].astype(jnp.uint32),
+             words0[jnp.minimum(b_entry // g, M - 1)]],
+            axis=1,
+        )
+
         entry, rank, lo_of_entry, cand_valid = expand_with_payload(
             counts.reshape(-1), lo_idx_l.reshape(-1), join_cap
         )
         cand_a = base + entry // n_pos
         cand_p = (entry % n_pos + 1) * g
         b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
-        e_b = b_entry[b_slot]
+        row = slab[b_slot]
+        e_b = row[:, 0].astype(jnp.int32)
         cand_b = e_b // g
         cand_p0 = cand_p - (e_b - cand_b * g)
         cand_valid = (
@@ -461,7 +473,9 @@ def sharded_find_overlaps(
         cand_p0 = jnp.clip(cand_p0, 1, pa)
 
         ok = verify_candidates(
-            all_reads, cand_a, cand_p0, cand_b
+            reads_local, cand_a - base, cand_p0, cand_b,
+            shifted=shifted_l, words0=words0, max_p=pa,
+            b_words=row[:, 1:],
         ) & cand_valid
         ovl = L - cand_p0
 

@@ -144,6 +144,13 @@ def find_overlaps_chunked(
     B = detect._pick_bucket_bits(M * g, M * n_pos, 2 * s, None)
     st = detect.table_from_sorted(b_hi_sorted, b_entry, b_val, B)
     words0 = jnp.concatenate(words0_parts, axis=0)
+    # slot slab: [entry id | owner's prefix words] -> one gather per
+    # candidate for entry decode + B-side verification (detect.find_overlaps)
+    slab = jnp.concatenate(
+        [st.entry[:, None].astype(jnp.uint32),
+         words0[jnp.minimum(st.entry // g, M - 1)]],
+        axis=1,
+    )
     del words0_parts, run
 
     # --- pass 2: per-chunk probe + expand + verify + reduce -------------
@@ -168,7 +175,8 @@ def find_overlaps_chunked(
         cand_a = i + entry // n_pos                       # global id
         cand_p = (entry % n_pos + 1) * g
         b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
-        e_b = st.entry[b_slot]
+        row = slab[b_slot]
+        e_b = row[:, 0].astype(jnp.int32)
         cand_b = e_b // g
         cand_p0 = cand_p - (e_b - cand_b * g)
         cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
@@ -177,6 +185,7 @@ def find_overlaps_chunked(
         ok = detect.verify_candidates(
             chunk, cand_a - i, cand_p0, cand_b,
             shifted=shifted, words0=words0, max_p=pa,
+            b_words=row[:, 1:],
         ) & cand_valid
 
         ovl = L - cand_p0
