@@ -358,6 +358,57 @@ def probe_seed_table(
     return lo_idx, counts
 
 
+def reduce_edge_candidates(
+    ok: jnp.ndarray,
+    cand_a: jnp.ndarray,
+    cand_b: jnp.ndarray,
+    cand_ovl: jnp.ndarray,
+    read_len: int,
+    max_vertex: int,
+):
+    """Longest-overlap-per-(src,dst) reduction + compaction.
+
+    Returns (src, dst, ovl, n_edges) with padding rows INT32_MAX, sorted
+    by (src, dst). When dst and ovl fit one int31 word together
+    (max_vertex * 2^ceil(log2(read_len+1)) < 2^31, true for anything
+    below ~16M vertices at 100 bp), both sorts run with 2 operands
+    instead of 3 — sort cost scales with operand count.
+    """
+    ov_bits = int(read_len).bit_length()  # ovl <= read_len fits
+    packable = max_vertex < (1 << (31 - ov_bits))
+    if packable:
+        packed = (cand_b << ov_bits) | cand_ovl
+        e_src = jnp.where(ok, cand_a, _I32_MAX)
+        e_pk = jnp.where(ok, packed, _I32_MAX)
+        e_src, e_pk = sort_by_keys([e_src, e_pk])
+        e_dst = e_pk >> ov_bits
+        nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), _I32_MAX)])
+        nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
+        is_last = (e_src != nxt_src) | (e_dst != nxt_dst)
+        keep = is_last & (e_src != _I32_MAX)
+        k_src = jnp.where(keep, e_src, _I32_MAX)
+        k_pk = jnp.where(keep, e_pk, _I32_MAX)
+        k_src, k_pk = sort_by_keys([k_src, k_pk])
+        pad = k_src == _I32_MAX
+        k_dst = jnp.where(pad, _I32_MAX, k_pk >> ov_bits)
+        k_ovl = jnp.where(pad, 0, k_pk & ((1 << ov_bits) - 1))
+        return k_src, k_dst, k_ovl, jnp.sum(keep.astype(jnp.int32))
+
+    e_src = jnp.where(ok, cand_a, _I32_MAX)
+    e_dst = jnp.where(ok, cand_b, _I32_MAX)
+    e_ovl = jnp.where(ok, cand_ovl, 0)
+    e_src, e_dst, e_ovl = sort_by_keys([e_src, e_dst, e_ovl])
+    nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), _I32_MAX)])
+    nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
+    is_last = (e_src != nxt_src) | (e_dst != nxt_dst)
+    keep = is_last & (e_src != _I32_MAX)
+    k_src = jnp.where(keep, e_src, _I32_MAX)
+    k_dst = jnp.where(keep, e_dst, _I32_MAX)
+    k_ovl = jnp.where(keep, e_ovl, 0)
+    k_src, k_dst, k_ovl = sort_by_keys([k_src, k_dst, k_ovl])
+    return k_src, k_dst, k_ovl, jnp.sum(keep.astype(jnp.int32))
+
+
 def auto_stride(min_overlap: int, seed_len: int, pa: int) -> int:
     """Largest lossless probe stride g: the B side indexes seeds at
     prefix offsets o in [0, g), so an A-side probe every g positions
@@ -451,20 +502,9 @@ def find_overlaps(
     ) & cand_valid
 
     # --- 4. longest-overlap reduction per (src, dst) -------------------
-    e_src = jnp.where(ok, cand_a, _I32_MAX)
-    e_dst = jnp.where(ok, cand_b, _I32_MAX)
-    e_ovl = jnp.where(ok, ovl, 0)
-    e_src, e_dst, e_ovl = sort_by_keys([e_src, e_dst, e_ovl])
-    nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), _I32_MAX)])
-    nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
-    is_last = (e_src != nxt_src) | (e_dst != nxt_dst)
-    keep = is_last & (e_src != _I32_MAX)
-
-    k_src = jnp.where(keep, e_src, _I32_MAX)
-    k_dst = jnp.where(keep, e_dst, _I32_MAX)
-    k_ovl = jnp.where(keep, e_ovl, 0)
-    k_src, k_dst, k_ovl = sort_by_keys([k_src, k_dst, k_ovl])
-    n_edges = jnp.sum(keep.astype(jnp.int32))
+    k_src, k_dst, k_ovl, n_edges = reduce_edge_candidates(
+        ok, cand_a, cand_b, ovl, L, M
+    )
     n_verified = jnp.sum(ok.astype(jnp.int32))
     return OverlapResult(
         k_src, k_dst, k_ovl, n_edges, n_candidates, n_verified, overflow

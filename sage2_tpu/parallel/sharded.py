@@ -400,6 +400,7 @@ def sharded_find_overlaps(
     from sage2_tpu.overlap.detect import (
         _prefix_join_parts,
         auto_stride,
+        reduce_edge_candidates,
         seed_keys_at_positions,
         shifted_word_packs,
     )
@@ -479,17 +480,9 @@ def sharded_find_overlaps(
         ) & cand_valid
         ovl = L - cand_p0
 
-        e_src = jnp.where(ok, cand_a, _I32_MAX)
-        e_dst = jnp.where(ok, cand_b, _I32_MAX)
-        e_ovl = jnp.where(ok, ovl, 0)
-        e_src, e_dst, e_ovl = sort_by_keys([e_src, e_dst, e_ovl])
-        nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), _I32_MAX)])
-        nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
-        keep = ((e_src != nxt_src) | (e_dst != nxt_dst)) & (e_src != _I32_MAX)
-        e_src = jnp.where(keep, e_src, _I32_MAX)
-        e_dst = jnp.where(keep, e_dst, _I32_MAX)
-        e_ovl = jnp.where(keep, e_ovl, 0)
-        n_local = jnp.sum(keep.astype(jnp.int32))
+        e_src, e_dst, e_ovl, n_local = reduce_edge_candidates(
+            ok, cand_a, cand_b, ovl, L, M
+        )
 
         g_src = jax.lax.all_gather(e_src, axis, tiled=True)
         g_dst = jax.lax.all_gather(e_dst, axis, tiled=True)

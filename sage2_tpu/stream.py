@@ -189,19 +189,11 @@ def find_overlaps_chunked(
         ) & cand_valid
 
         ovl = L - cand_p0
-        e_src = jnp.where(ok, cand_a, I32_MAX)
-        e_dst = jnp.where(ok, cand_b, I32_MAX)
-        e_ovl = jnp.where(ok, ovl, 0)
-        e_src, e_dst, e_ovl = sort_by_keys([e_src, e_dst, e_ovl])
-        nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), I32_MAX)])
-        nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), I32_MAX)])
-        keep = ((e_src != nxt_src) | (e_dst != nxt_dst)) & (e_src != I32_MAX)
-        n_keep = int(jnp.sum(keep.astype(jnp.int32)))
+        k_src, k_dst, k_ovl, n_keep_dev = detect.reduce_edge_candidates(
+            ok, cand_a, cand_b, ovl, L, M
+        )
+        n_keep = int(n_keep_dev)
         n_edges_total += n_keep
-        k_src = jnp.where(keep, e_src, I32_MAX)
-        k_dst = jnp.where(keep, e_dst, I32_MAX)
-        k_ovl = jnp.where(keep, e_ovl, 0)
-        k_src, k_dst, k_ovl = sort_by_keys([k_src, k_dst, k_ovl])
         chunks_out.append((
             np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
             np.asarray(k_ovl[:n_keep]),
