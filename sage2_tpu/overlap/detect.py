@@ -301,16 +301,24 @@ def build_seed_table(
     p_hi: jnp.ndarray, p_lo: jnp.ndarray, p_valid: jnp.ndarray,
     bucket_bits: int,
 ) -> SeedTable:
-    """Sort seed keys and build the bucket start table."""
+    """Bucket-group seed keys and build the bucket start table.
+
+    Probes return ENTIRE buckets (exact extension re-verifies every
+    candidate), so only grouping by the top ``bucket_bits`` of ``hi``
+    matters — not full (hi, lo) key order. The sort therefore runs with
+    just TWO operands: ``hi`` and a packed (invalid-bit | entry-id) word
+    whose top bit doubles as the tie-break that sends invalid entries
+    (hi forced to all-ones) strictly after any real all-T seeds. Sort
+    cost scales with operand count; the previous 4-operand full-key sort
+    was the single most expensive op of the join.
+    """
     q_hi = jnp.where(p_valid, p_hi, _U32_MAX)
-    q_lo = jnp.where(p_valid, p_lo, _U32_MAX)
-    inval = (~p_valid).astype(jnp.uint32)
     Mg = p_hi.shape[0]
-    # the inval key sorts invalid entries strictly last, so validity per
-    # slot is just slot < n_valid — no need to carry it through the sort
-    b_hi, _, _, b_read = sort_by_keys(
-        [q_hi, q_lo, inval], [jnp.arange(Mg, dtype=jnp.int32)]
-    )
+    packed = jnp.where(
+        p_valid, jnp.uint32(0), jnp.uint32(0x80000000)
+    ) | jnp.arange(Mg, dtype=jnp.uint32)
+    b_hi, b_packed = sort_by_keys([q_hi, packed])
+    b_read = (b_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     n_valid = jnp.sum(p_valid.astype(jnp.int32))
     b_val = (jnp.arange(Mg, dtype=jnp.int32) < n_valid).astype(jnp.int32)
     return table_from_sorted(b_hi, b_read, b_val, bucket_bits)
@@ -386,6 +394,9 @@ def reduce_edge_candidates(
         nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
         is_last = (e_src != nxt_src) | (e_dst != nxt_dst)
         keep = is_last & (e_src != _I32_MAX)
+        # compaction via a second sort: measured 5x faster than cumsum +
+        # scatter compaction on TPU (scripts/probe_reduce_ab.py) — the
+        # sort engine beats data-dependent scatters at this size
         k_src = jnp.where(keep, e_src, _I32_MAX)
         k_pk = jnp.where(keep, e_pk, _I32_MAX)
         k_src, k_pk = sort_by_keys([k_src, k_pk])

@@ -116,31 +116,34 @@ def find_overlaps_chunked(
     I32_MAX = np.int32(2**31 - 1)
 
     # --- pass 1: chunked B-side seed keys; merge-sorted global table ---
-    run: Optional[Tuple[jnp.ndarray, ...]] = None  # (hi, lo, inval, entry, val)
+    # bucket-only ordering (see detect.build_seed_table): each run is
+    # (hi, packed invalid-bit|entry-id) — 2 sort operands per merge
+    run: Optional[Tuple[jnp.ndarray, ...]] = None
     words0_parts = []
     for i in range(0, M, chunk_reads):
         chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
         cvalid = jnp.asarray(valid2[i : i + chunk_reads])
         shifted = detect.shifted_word_packs(chunk)
         words0_parts.append(shifted[:, 0, :])
-        b_hi, b_lo = detect.seed_keys_at_positions(
+        b_hi, _b_lo = detect.seed_keys_at_positions(
             shifted, s, list(range(g)), L
         )
         ev = jnp.repeat(cvalid, g) if g > 1 else cvalid
         hi = jnp.where(ev, b_hi.reshape(-1), jnp.uint32(0xFFFFFFFF))
-        lo = jnp.where(ev, b_lo.reshape(-1), jnp.uint32(0xFFFFFFFF))
-        inval = (~ev).astype(jnp.uint32)
-        entry = i * g + jnp.arange(hi.shape[0], dtype=jnp.int32)
-        part = sort_by_keys(
-            [hi, lo, inval], [entry, ev.astype(jnp.int32)]
-        )
+        entry = jnp.uint32(i * g) + jnp.arange(hi.shape[0], dtype=jnp.uint32)
+        packed = jnp.where(
+            ev, jnp.uint32(0), jnp.uint32(0x80000000)
+        ) | entry
+        part = sort_by_keys([hi, packed])
         if run is None:
             run = tuple(part)
         else:
             merged = [jnp.concatenate([a, b]) for a, b in zip(run, part)]
-            run = tuple(sort_by_keys(merged[:3], merged[3:]))
+            run = tuple(sort_by_keys(merged))
     assert run is not None, "no reads"
-    b_hi_sorted, _, _, b_entry, b_val = run
+    b_hi_sorted, b_packed = run
+    b_entry = (b_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    b_val = ((b_packed >> 31) == 0).astype(jnp.int32)
     B = detect._pick_bucket_bits(M * g, M * n_pos, 2 * s, None)
     st = detect.table_from_sorted(b_hi_sorted, b_entry, b_val, B)
     words0 = jnp.concatenate(words0_parts, axis=0)
