@@ -181,9 +181,15 @@ def pop_bubbles(
             u = g.unitigs.get(uid)
             if u is None:
                 continue
-            if u.coverage <= ratio * best.coverage or abs(
-                u.length - best.length
-            ) <= 0.1 * best.length:
+            # an error bubble is length-similar AND coverage-weaker than
+            # the winner; a genuine near-identical repeat variant carries
+            # comparable coverage and must survive, so the length clause
+            # is gated on a coverage deficit (never pop equal-coverage
+            # parallel branches on length-similarity alone)
+            length_similar = abs(u.length - best.length) <= 0.1 * best.length
+            cov_weak = u.coverage <= ratio * best.coverage
+            cov_below = u.coverage <= 0.75 * best.coverage
+            if cov_weak or (length_similar and cov_below):
                 t = twin_uid(g, uid, cap)
                 _remove_unitig(g, uid)
                 removed += 1
@@ -318,10 +324,14 @@ def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
     join_paths — restricted to globally unambiguous chains — cannot do.
     Deterministic; terminates because every step consumes budget.
     """
+    # pair budget = max over both twins' copy_count, so the shared budget
+    # is strand-symmetric even if coverage rounding ever disagrees between
+    # a unitig and its RC twin (not insertion-order dependent)
     resid: Dict[int, int] = {}
     for uid in g.unitigs:
         pk = _pair_key(g, uid, cap)
-        resid.setdefault(pk, max(1, g.unitigs[uid].copy_count))
+        c = max(1, g.unitigs[uid].copy_count)
+        resid[pk] = max(resid.get(pk, 0), c)
 
     def take(uid: int) -> None:
         resid[_pair_key(g, uid, cap)] -= 1

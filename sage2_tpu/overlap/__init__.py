@@ -4,7 +4,6 @@
 from sage2_tpu.overlap.prepare import ReadSet, prepare_reads
 from sage2_tpu.overlap.detect import (
     OverlapResult,
-    count_candidates,
     find_overlaps,
     find_overlaps_auto,
 )
@@ -13,7 +12,6 @@ __all__ = [
     "ReadSet",
     "prepare_reads",
     "OverlapResult",
-    "count_candidates",
     "find_overlaps",
     "find_overlaps_auto",
 ]

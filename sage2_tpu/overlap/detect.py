@@ -175,56 +175,31 @@ def verify_candidates(
     return ok[:C]
 
 
-def seed_keys_from_packs(
-    shifted: jnp.ndarray, s: int, p_lo_incl: int, p_hi_incl: int, L: int
-):
-    """Left-aligned seed keys of positions p in [p_lo_incl, p_hi_incl]
-    straight from the shifted word packs — static slices, no arithmetic.
-
-    The seed at position p is bases [p, p+s); its left-aligned key is
-    (word covering [p, p+16), word covering [p+16, p+32)) masked to the
-    top 2s bits. Left-aligned keys differ from kmer_keys' integer
-    values, but any injective mapping works for joining — both sides
-    use this one. Returns (hi, lo) of shape (M, p_hi-p_lo+1).
-    """
-    M = shifted.shape[0]
-    W = shifted.shape[2]
-    his, los = [], []
-    for p in range(p_lo_incl, p_hi_incl + 1):
-        r, w = p % 16, p // 16
-        his.append(shifted[:, r, w])
-        if s > 16:
-            los.append(shifted[:, r, min(w + 1, W - 1)])
-    hi = jnp.stack(his, axis=1)
-    if s >= 16:
-        pass
-    else:
-        hi = hi & jnp.uint32((0xFFFFFFFF << (32 - 2 * s)) & 0xFFFFFFFF)
-    if s > 16:
-        lo = jnp.stack(los, axis=1)
-        if s < 32:
-            lo = lo & jnp.uint32((0xFFFFFFFF << (32 - 2 * (s - 16))) & 0xFFFFFFFF)
-    else:
-        lo = jnp.zeros_like(hi)
-    return hi, lo
-
-
 def seed_keys_at_positions(
     shifted: jnp.ndarray, s: int, positions: Sequence[int], L: int
 ):
     """Left-aligned seed keys at an arbitrary static position list.
 
-    Same key convention as seed_keys_from_packs (top-2s-bit-masked
-    left-aligned words) but for non-contiguous positions — used by the
-    strided A-side probe schedule. Returns (hi, lo) of shape
-    (M, len(positions)).
+    The seed at position p is bases [p, p+s); its left-aligned key is
+    (word covering [p, p+16), word covering [p+16, p+32)) masked to the
+    top 2s bits — any injective mapping works for joining, and both the
+    B table and the strided A-side probe schedule use this one. Static
+    slices into the shifted packs, no arithmetic. Returns (hi, lo) of
+    shape (M, len(positions)).
     """
     W = shifted.shape[2]
     his, los = [], []
     for p in positions:
+        if p + s > L:
+            raise ValueError(
+                f"seed position {p} + seed length {s} exceeds read "
+                f"length {L}"
+            )
         r, w = p % 16, p // 16
         his.append(shifted[:, r, w])
         if s > 16:
+            # p + s <= L with s > 16 implies p + 16 < L <= 16 W, so
+            # w + 1 < W always; the min() is inert, kept as belt.
             los.append(shifted[:, r, min(w + 1, W - 1)])
     hi = jnp.stack(his, axis=1)
     if s < 16:
@@ -314,6 +289,9 @@ def build_seed_table(
     """
     q_hi = jnp.where(p_valid, p_hi, _U32_MAX)
     Mg = p_hi.shape[0]
+    if Mg >= 1 << 31:
+        # entry ids pack as (invalid-bit | id) in one uint32 word
+        raise ValueError(f"seed table too large: {Mg} entries >= 2^31")
     packed = jnp.where(
         p_valid, jnp.uint32(0), jnp.uint32(0x80000000)
     ) | jnp.arange(Mg, dtype=jnp.uint32)
@@ -520,33 +498,6 @@ def find_overlaps(
     return OverlapResult(
         k_src, k_dst, k_ovl, n_edges, n_candidates, n_verified, overflow
     )
-
-
-def count_candidates(
-    reads2: jnp.ndarray,
-    valid2: jnp.ndarray,
-    min_overlap: int,
-    seed_len: int = 32,
-    stride: int | None = None,
-) -> jnp.ndarray:
-    """Exact candidate count of the seed join (the cheap first phase of
-    the auto-capacity strategy; SURVEY.md §7 "fixed capacities")."""
-    M, L = reads2.shape
-    s = min(seed_len, min_overlap, 32)
-    pa = L - min_overlap
-    g = auto_stride(min_overlap, s, pa) if stride is None else stride
-    n_pos = -(-pa // g)
-    shifted = shifted_word_packs(reads2)
-    b_hi, b_lo = seed_keys_at_positions(shifted, s, list(range(g)), L)
-    a_hi, a_lo = seed_keys_at_positions(
-        shifted, s, [g * (j + 1) for j in range(n_pos)], L
-    )
-    b_valid = jnp.repeat(valid2, g) if g > 1 else valid2
-    _, _, counts = _prefix_join_parts(
-        b_hi.reshape(-1), b_lo.reshape(-1), b_valid,
-        a_hi, a_lo, valid2, seed_bits=2 * s,
-    )
-    return jnp.sum(counts)
 
 
 @functools.lru_cache(maxsize=64)
