@@ -407,6 +407,54 @@ def auto_stride(min_overlap: int, seed_len: int, pa: int) -> int:
     return max(1, min(8, min_overlap - s + 1, pa))
 
 
+def _mix32(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """32-bit avalanche mix of a (hi, lo) seed key: the fused join keys
+    runs on this hash, so collision rate is ~Q*T/2^32 (negligible; the
+    exact-extension verify re-checks every candidate anyway) instead of
+    the top-bucket-bits collisions of the round-1 table."""
+    h = hi * jnp.uint32(0x9E3779B1) + lo * jnp.uint32(0x85EBCA77)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    return h ^ (h >> 15)
+
+
+def _row_payload(
+    shifted: jnp.ndarray, positions, n_entries: int, L: int, W_pay: int
+) -> jnp.ndarray:
+    """Per-(read, seed-position) payload rows for the fused join.
+
+    Row = [aw0..aw(W_pay-1), xw] where aw_t is the uint32 word covering
+    bases [pos + 16t, pos + 16t + 16) (zero-padded past the read end).
+    ``W_pay`` is the trimmed word count ceil((L - g) / 16): the verify
+    compares at most L - g bases from the anchor, so later words never
+    carry compared bits. The shared column xw is role-dependent: the
+    first ``n_entries`` positions are ENTRY rows, whose xw is the
+    read's FIRST word (bases [0, 16) — the B side of the prefix check);
+    the rest are QUERY rows, whose xw is the prev-window word (bases
+    [pos-16, pos), base pos-1 in the bottom 2 bits — the A side).
+    Static slices only. Returns (M, len(positions), W_pay + 1) uint32.
+    """
+    M = shifted.shape[0]
+    W = shifted.shape[2]
+    rows = []
+    for i, pos in enumerate(positions):
+        r, w = pos % 16, pos // 16
+        aw = shifted[:, r, w : w + W_pay]
+        pad = W_pay - (W - w)
+        if pad > 0:
+            aw = jnp.concatenate(
+                [aw, jnp.zeros((M, pad), shifted.dtype)], axis=1
+            )
+        if i < n_entries:
+            xw = shifted[:, 0, 0]                   # B side: bases [0,16)
+        elif pos < 16:
+            xw = shifted[:, 0, 0] >> jnp.uint32(2 * (16 - pos))
+        else:
+            xw = shifted[:, pos % 16, pos // 16 - 1]
+        rows.append(jnp.concatenate([aw, xw[:, None]], axis=1))
+    return jnp.stack(rows, axis=1)
+
+
 def find_overlaps(
     reads2: jnp.ndarray,
     valid2: jnp.ndarray,
@@ -420,15 +468,33 @@ def find_overlaps(
     reads2: (M, L) RC-augmented codes; valid2: (M,) row mask.
     Matches sage2_tpu.refmodel.oracle.oracle_overlaps on the valid rows.
 
-    Strided probe schedule (the device is random-access-bound at
-    ~1e8 ops/s, so probe count dominates stage cost): instead of one
-    B-prefix seed per read probed at every A position p in [1, pa]
-    (M*pa probes), the B table holds g seeds per read (prefix offsets
-    o in [0, g)) and A probes only p in {g, 2g, ...} (M*ceil(pa/g)
-    probes). A hit (a, p) x (b, o) implies overlap start p0 = p - o.
-    Lossless: every true p0 has exactly one (p, o) = (g*ceil(p0/g),
-    p - p0) with o < g <= min_overlap - s + 1, so the offset seed is a
-    within-overlap exact substring.
+    Fused sort-join design (round 2; the benchmark chip charges a large
+    fixed floor per sort/gather/scatter dispatch while prefix scans are
+    nearly free — scripts/probe_op_floor.py — so the kernel is built
+    from ONE combined sort, scan-based run accounting, one monotone
+    3-column scatter+cummax expansion, and exactly three row gathers):
+
+      * Every read contributes g + n_pos seed rows: ENTRY rows at prefix
+        offsets o in [0, g) and QUERY rows at probe positions
+        p in {g, 2g, ...} (the round-1 strided schedule, unchanged and
+        lossless: a hit (a, p) x (b, o) implies overlap start p0 = p - o,
+        and every true p0 has exactly one such (p, o) with o < g).
+      * One 2-operand sort groups all rows by a 32-bit seed-key hash
+        (entries before queries within a run via the id's tag bit).
+      * Prefix scans give each query its run's entry range; candidate
+        expansion scatters (query pos, start, entry base) — all three
+        monotone — at candidate starts and forward-fills with one
+        3-column cummax, so no per-candidate decode gather is needed.
+      * One payload pregather puts each row's suffix words (anchored at
+        its OWN seed position) next to its id; two candidate row gathers
+        (query side, entry side) then feed a purely elementwise verify:
+        both sides' words are pre-aligned to the same genome coordinate,
+        eliminating the round-1 register word-shift select, and the o
+        bases of B preceding the anchor are checked against the query's
+        pw word.
+      * One 2-operand sort orders/dedups the edge list; the rare
+        duplicate-(src,dst) compaction re-sort runs under lax.cond only
+        when a duplicate actually exists.
     """
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
@@ -441,63 +507,173 @@ def find_overlaps(
         raise ValueError(f"stride {g} invalid for min_overlap={min_overlap}, "
                          f"seed={s}")
     n_pos = -(-pa // g)                            # A probes at g*(j+1)
+    W = -(-L // 16)
+    R = g + n_pos                                  # seed rows per read
+    N = M * R
+    C = capacity
+    if N >= 1 << 31:
+        raise ValueError(f"seed rows {N} overflow 31-bit row ids")
 
-    # --- 1+2. B offset-seed table + inverted bucket join ---------------
+    positions = list(range(g)) + [g * (j + 1) for j in range(n_pos)]
+
+    # --- seed rows: keys, hash, payload (all static slices) ------------
     shifted = shifted_word_packs(reads2)
-    b_hi, b_lo = seed_keys_at_positions(shifted, s, list(range(g)), L)
-    a_hi, a_lo = seed_keys_at_positions(
-        shifted, s, [g * (j + 1) for j in range(n_pos)], L
+    Wp = -(-(L - g) // 16)                         # trimmed payload words
+    payload = _row_payload(shifted, positions, g, L, Wp)  # (M, R, Wp+1)
+    if s == 32 and Wp >= 2:
+        # the 32-base seed key IS the first two payload words
+        k_hi, k_lo = payload[..., 0], payload[..., 1]
+    else:
+        k_hi, k_lo = seed_keys_at_positions(shifted, s, positions, L)
+    h = _mix32(k_hi, k_lo)
+    rv = jnp.broadcast_to(valid2[:, None], (M, R))
+    h = jnp.where(rv, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), _U32_MAX)
+    tag = jnp.concatenate(
+        [jnp.zeros((M, g), jnp.uint32),
+         jnp.full((M, n_pos), 0x80000000, jnp.uint32)], axis=1,
     )
-    # B entry id e = b*g + o (row-major flatten of the (M, g) seed grid)
-    b_valid = jnp.repeat(valid2, g) if g > 1 else valid2
-    b_entry, lo_idx, counts = _prefix_join_parts(
-        b_hi.reshape(-1), b_lo.reshape(-1), b_valid,
-        a_hi, a_lo, valid2, seed_bits=2 * s,
-    )
-    n_candidates = jnp.sum(counts)
-    overflow = n_candidates > capacity
-
-    # slot slab: [entry id | owner read's prefix words] per sorted slot,
-    # so each candidate's entry decode AND B-side verification words cost
-    # ONE row gather (vs separate entry + words0 gathers; random-access
-    # op count dominates, SURVEY.md §9). Build cost: Mg row gathers,
-    # amortized over ~candidates >> Mg.
-    words0 = shifted[:, 0, :]
-    slab = jnp.concatenate(
-        [b_entry[:, None].astype(jnp.uint32),
-         words0[jnp.minimum(b_entry // g, M - 1)]],
-        axis=1,
+    packed = tag | (
+        jnp.arange(N, dtype=jnp.uint32).reshape(M, R)
     )
 
-    entry, rank, lo_of_entry, cand_valid = expand_with_payload(
-        counts.reshape(-1), lo_idx.reshape(-1), capacity
+    # --- one combined sort ----------------------------------------------
+    s_hash, s_packed = sort_by_keys([h.reshape(-1), packed.reshape(-1)])
+    sid = (s_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    # --- scan-based run accounting --------------------------------------
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    prev = jnp.concatenate([s_hash[:1], s_hash[:-1]])
+    is_head = (iota_n == 0) | (s_hash != prev)
+    live = s_hash != _U32_MAX
+    is_entry = ((s_packed >> 31) == 0) & live
+    is_query = ((s_packed >> 31) == 1) & live
+    entrycum = jnp.cumsum(is_entry.astype(jnp.int32))
+    fill = jax.lax.cummax(
+        jnp.stack(
+            [jnp.where(is_head, iota_n, 0),
+             jnp.where(is_head, entrycum - is_entry, 0)], axis=1
+        ), axis=0,
     )
-    cand_a = entry // n_pos
-    cand_p = (entry % n_pos + 1) * g               # probe position
-    b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
-    row = slab[b_slot]
-    e_b = row[:, 0].astype(jnp.int32)
-    b_words = row[:, 1:]
-    cand_b = e_b // g
-    cand_p0 = cand_p - (e_b - cand_b * g)          # overlap start p - o
-    cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
-    cand_p0 = jnp.clip(cand_p0, 1, pa)
+    run_start, entry_base = fill[:, 0], fill[:, 1]
+    counts = jnp.where(is_query, entrycum - entry_base, 0)
+    offsets = jnp.cumsum(counts)
+    total = offsets[-1]
+    starts = offsets - counts
+    overflow = total > C
 
-    # --- 3. exact extension --------------------------------------------
-    ovl = L - cand_p0
-    ok = verify_candidates(
-        reads2, cand_a, cand_p0, cand_b,
-        shifted=shifted, words0=words0, max_p=pa, b_words=b_words,
-    ) & cand_valid
+    # payload pregather: each sorted row's id, suffix/prev words, and its
+    # run_start + start — the latter two ride as columns so the expansion
+    # below scatters a SINGLE value (wide scatters are disproportionately
+    # expensive on this device; wide gathers are free)
+    pays = jnp.concatenate(
+        [s_packed[:, None], payload.reshape(N, Wp + 1)[sid],
+         run_start[:, None].astype(jnp.uint32),
+         starts[:, None].astype(jnp.uint32)], axis=1
+    )                                              # (N, Wp+4)
 
-    # --- 4. longest-overlap reduction per (src, dst) -------------------
-    k_src, k_dst, k_ovl, n_edges = reduce_edge_candidates(
+    # --- expansion: one 1-col monotone scatter + cummax -----------------
+    # candidate starts are unique, so a plain dropped set suffices (and
+    # is measurably cheaper than scatter-max on this device)
+    sidx = jnp.where((counts > 0) & (starts < C), starts, C)
+    grid = (
+        jnp.full(C + 1, -1, jnp.int32)
+        .at[sidx].set(iota_n, mode="drop")[:C]
+    )
+    qpos = jax.lax.cummax(grid)
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    slot_valid = (qpos >= 0) & (iota_c < total)
+
+    # --- two candidate row gathers + elementwise verify -----------------
+    pay_a = pays[jnp.clip(qpos, 0, N - 1)]
+    rank = iota_c - pay_a[:, Wp + 3].astype(jnp.int32)
+    bslot = jnp.clip(
+        pay_a[:, Wp + 2].astype(jnp.int32) + rank, 0, N - 1
+    )
+    pay_b = pays[bslot]
+    qid = (pay_a[:, 0] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    eid = (pay_b[:, 0] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    cand_a = qid // R
+    p = (qid % R - g + 1) * g
+    cand_b = eid // R
+    o = eid % R
+    p0 = p - o
+    ovl = L - p0
+    cand_valid = slot_valid & (cand_a != cand_b) & (p0 <= pa)
+
+    aq = pay_a[:, 1 : 1 + Wp]
+    bo = pay_b[:, 1 : 1 + Wp]
+    diff = aq ^ bo
+    lc2 = (L - p) * 2                              # compare bits from p
+    t16 = jnp.arange(Wp, dtype=jnp.int32)[None, :] * 32
+    vb = jnp.clip(lc2[:, None] - t16, 0, 32)
+    shift = jnp.clip(32 - vb, 0, 31).astype(jnp.uint32)
+    ok_word = jnp.where(vb == 0, True, (diff >> shift) == 0)
+    # prefix: A[p0:p] (low 2o bits of the query's pw) == B[0:o]
+    apw = pay_a[:, 1 + Wp]
+    b0w = pay_b[:, 1 + Wp]
+    o2 = (2 * o).astype(jnp.uint32)
+    lhs = apw & ((jnp.uint32(1) << o2) - 1)
+    rhs = jnp.where(
+        o == 0, jnp.uint32(0),
+        b0w >> jnp.clip(32 - 2 * o, 0, 31).astype(jnp.uint32),
+    )
+    ok = jnp.all(ok_word, axis=1) & (lhs == rhs) & cand_valid
+
+    # --- one-sort reduction (cond re-sort only on real duplicates) ------
+    k_src, k_dst, k_ovl, n_edges = _reduce_fused(
         ok, cand_a, cand_b, ovl, L, M
     )
     n_verified = jnp.sum(ok.astype(jnp.int32))
     return OverlapResult(
-        k_src, k_dst, k_ovl, n_edges, n_candidates, n_verified, overflow
+        k_src, k_dst, k_ovl, n_edges, total, n_verified, overflow
     )
+
+
+def _reduce_fused(
+    ok: jnp.ndarray,
+    cand_a: jnp.ndarray,
+    cand_b: jnp.ndarray,
+    cand_ovl: jnp.ndarray,
+    read_len: int,
+    max_vertex: int,
+):
+    """Longest-overlap-per-(src,dst) reduction with a cond-gated second
+    sort: the compaction re-sort is needed only when some (src, dst)
+    pair verified at MULTIPLE overlap lengths (possible only for
+    periodic reads — essentially never on real data), so it runs under
+    lax.cond and the common path costs a single 2-operand sort.
+    Output contract identical to reduce_edge_candidates."""
+    ov_bits = int(read_len).bit_length()
+    if max_vertex >= (1 << (31 - ov_bits)):
+        return reduce_edge_candidates(
+            ok, cand_a, cand_b, cand_ovl, read_len, max_vertex
+        )
+    packed = (cand_b << ov_bits) | cand_ovl
+    e_src = jnp.where(ok, cand_a, _I32_MAX)
+    e_pk = jnp.where(ok, packed, _I32_MAX)
+    e_src, e_pk = sort_by_keys([e_src, e_pk])
+    e_dst = e_pk >> ov_bits
+    nxt_src = jnp.concatenate([e_src[1:], jnp.full((1,), _I32_MAX)])
+    nxt_dst = jnp.concatenate([e_dst[1:], jnp.full((1,), _I32_MAX)])
+    is_last = (e_src != nxt_src) | (e_dst != nxt_dst)
+    valid = e_src != _I32_MAX
+    keep = is_last & valid
+    n_edges = jnp.sum(keep.astype(jnp.int32))
+    n_dups = jnp.sum(valid.astype(jnp.int32)) - n_edges
+
+    def with_dups():
+        k_src = jnp.where(keep, e_src, _I32_MAX)
+        k_pk = jnp.where(keep, e_pk, _I32_MAX)
+        return tuple(sort_by_keys([k_src, k_pk]))
+
+    def no_dups():
+        return e_src, e_pk
+
+    k_src, k_pk = jax.lax.cond(n_dups > 0, with_dups, no_dups)
+    pad = k_src == _I32_MAX
+    k_dst = jnp.where(pad, _I32_MAX, k_pk >> ov_bits)
+    k_ovl = jnp.where(pad, 0, k_pk & ((1 << ov_bits) - 1))
+    return k_src, k_dst, k_ovl, n_edges
 
 
 @functools.lru_cache(maxsize=64)
@@ -538,7 +714,15 @@ def find_overlaps_auto(
     cap = _CAP_MEMO.get(memo_key) or round_up(16 * M)
     while True:
         res = _jitted_find(min_overlap, seed_len, cap, stride)(reads2, valid2)
-        if not bool(res.overflow):
-            _CAP_MEMO[memo_key] = cap
+        # ONE batched readback: every separate device->host scalar fetch
+        # costs a full relay round trip (~22 ms measured), so overflow is
+        # derived host-side from the single n_candidates value
+        n_cand = int(jax.device_get(res.n_candidates))
+        if n_cand <= cap:
+            # memoize a TIGHT capacity: every candidate-proportional op
+            # (expansion grid, cummax, both row gathers, verify, reduce
+            # sort) scales with the static capacity, so steady-state
+            # callers should run at ~n_candidates, not the discovery size
+            _CAP_MEMO[memo_key] = round_up(n_cand * 1.05)
             return res
-        cap = max(round_up(int(res.n_candidates) * 1.05), cap + grain)
+        cap = max(round_up(n_cand * 1.05), cap + grain)
