@@ -39,6 +39,13 @@ class AssemblyConfig:
     traversal: str = "mincost"      # "unitig" (conservative) | "mincost" (SAGE-style)
     branch_dominance: float = 4.0   # prune junction branches this much weaker
     min_contig_len: int = 200       # drop contigs shorter than this many bases
+    path_penalty: int = 150         # bases of uncovered copy-length a new
+                                    # contig must explain (min-cost flow's
+                                    # per-path opening cost)
+    flow_max_extra: int = 2         # flow units allowed beyond a unitig's
+                                    # expected copy count
+    flow_max_component: int = 2000  # condensed-graph components larger than
+                                    # this fall back to the greedy walk
 
     # --- capacities (static shapes; SURVEY.md §7 "Hard parts") ---
     candidate_capacity: int = 1 << 20   # max overlap candidates per batch

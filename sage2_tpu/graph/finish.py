@@ -307,28 +307,35 @@ def _pair_key(g: UnitigGraph, uid: int, cap: int) -> int:
     return mv
 
 
-def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
-    """Min-cost contig traversal with expected copy counts (SAGE's
-    minimum-cost-path contig extraction; SURVEY.md §2 "Contig traversal",
-    §3.5).
+def greedy_budget_paths(
+    g: UnitigGraph, cap: int, only: Optional[Set[int]] = None
+) -> List[List[int]]:
+    """Round-1 greedy residual-budget walk (fallback traversal).
 
     Each unitig carries an expected genome multiplicity (copy_count from
     the coverage cost model); a residual copy budget — shared between a
     unitig and its reverse-complement twin so traversal is strand-
     symmetric — limits how often it may be used. Paths start at sources
     (no in-edges), then any unitig with residual budget, and extend
-    greedily along the cheapest continuation: the out-neighbor with the
-    largest residual budget (strongest remaining coverage support),
-    ties broken by length then RC-invariant id. Repeat unitigs
-    (copy_count >= 2) are therefore traversed by multiple paths, which
-    join_paths — restricted to globally unambiguous chains — cannot do.
-    Deterministic; terminates because every step consumes budget.
+    greedily along the locally-cheapest continuation: the out-neighbor
+    with the largest residual budget, ties broken by length then
+    RC-invariant id. Superseded as the default by the true min-cost flow
+    traversal (graph.flowpaths.mincost_flow_paths) — greedy takes each
+    junction locally and misroutes multi-junction repeats — but retained
+    for components beyond the flow solver's size bound.
+
+    ``only``: restrict the walk to a subset of unitigs (used for the
+    per-component fallback). Deterministic; terminates because every
+    step consumes budget.
     """
+    member = (lambda u: u in only) if only is not None else (lambda u: True)
     # pair budget = max over both twins' copy_count, so the shared budget
     # is strand-symmetric even if coverage rounding ever disagrees between
     # a unitig and its RC twin (not insertion-order dependent)
     resid: Dict[int, int] = {}
     for uid in g.unitigs:
+        if not member(uid):
+            continue
         pk = _pair_key(g, uid, cap)
         c = max(1, g.unitigs[uid].copy_count)
         resid[pk] = max(resid.get(pk, 0), c)
@@ -337,7 +344,7 @@ def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
         resid[_pair_key(g, uid, cap)] -= 1
 
     def budget(uid: int) -> int:
-        return resid[_pair_key(g, uid, cap)]
+        return resid.get(_pair_key(g, uid, cap), 0)
 
     def cost_key(uid: int):
         u = g.unitigs[uid]
@@ -346,9 +353,11 @@ def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
     paths: List[List[int]] = []
     used: Set[int] = set()
     src_set = {u for u in g.unitigs
-               if not g.in_edges.get(u) and g.out_edges.get(u)}
+               if member(u) and not g.in_edges.get(u) and g.out_edges.get(u)}
     sources = sorted(src_set)
-    everything = sources + [u for u in sorted(g.unitigs) if u not in src_set]
+    everything = sources + [
+        u for u in sorted(g.unitigs) if member(u) and u not in src_set
+    ]
     for start in everything:
         # non-source starts (cycles, leftover repeat budget) only open a
         # path if never placed — unplaced repeat copies would otherwise
@@ -360,7 +369,7 @@ def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
             cur = start
             while True:
                 outs = [v for (v, _o) in g.out_edges.get(cur, [])
-                        if budget(v) > 0]
+                        if member(v) and budget(v) > 0]
                 if not outs:
                     break
                 nxt = min(outs, key=cost_key)
@@ -370,6 +379,26 @@ def mincost_paths(g: UnitigGraph, cap: int) -> List[List[int]]:
                 cur = nxt
             paths.append(path)
     return paths
+
+
+def mincost_paths(
+    g: UnitigGraph,
+    cap: int,
+    path_penalty: int = 150,
+    flow_max_extra: int = 2,
+    flow_max_component: int = 2000,
+) -> List[List[int]]:
+    """True minimum-cost contig traversal (SAGE's namesake step): solves
+    a min-cost circulation under the copy-count model and decomposes the
+    flow into Euler trails — see graph.flowpaths for the objective and
+    the algorithm. Components beyond ``flow_max_component`` condensed
+    nodes use greedy_budget_paths."""
+    from sage2_tpu.graph.flowpaths import mincost_flow_paths
+
+    return mincost_flow_paths(
+        g, cap, path_penalty=path_penalty, max_extra=flow_max_extra,
+        max_component=flow_max_component,
+    )
 
 
 def join_paths(g: UnitigGraph) -> List[List[int]]:

@@ -312,7 +312,12 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             from sage2_tpu.graph.finish import mincost_paths
 
             annotate_copy_counts(g, c1)  # re-annotate post-cleaning
-            paths = mincost_paths(g, capn)
+            paths = mincost_paths(
+                g, capn,
+                path_penalty=config.path_penalty,
+                flow_max_extra=config.flow_max_extra,
+                flow_max_component=config.flow_max_component,
+            )
         else:
             paths = join_paths(g)
         contigs = emit_contigs(g, paths, reads2_np, config)
