@@ -455,6 +455,68 @@ def _row_payload(
     return jnp.stack(rows, axis=1)
 
 
+class JoinGeometry(NamedTuple):
+    """Static shape parameters of the strided fused join."""
+
+    g: int          # probe stride == B-side offset count
+    n_pos: int      # A-side probe positions (at g, 2g, ...)
+    R: int          # seed rows per read == g + n_pos
+    pa: int         # last possible overlap start == L - min_overlap
+    Wp: int         # trimmed payload words == ceil((L - g) / 16)
+
+
+def join_geometry(
+    L: int, min_overlap: int, s: int, stride: int | None = None
+) -> JoinGeometry:
+    if min_overlap >= L:
+        raise ValueError(f"min_overlap ({min_overlap}) must be < read len ({L})")
+    pa = L - min_overlap
+    g = auto_stride(min_overlap, s, pa) if stride is None else stride
+    if not 1 <= g <= min(16, min_overlap - s + 1):
+        raise ValueError(f"stride {g} invalid for min_overlap={min_overlap}, "
+                         f"seed={s}")
+    n_pos = -(-pa // g)
+    return JoinGeometry(g, n_pos, g + n_pos, pa, -(-(L - g) // 16))
+
+
+def build_seed_rows(
+    reads2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    s: int,
+    geo: JoinGeometry,
+    id_base: int | jnp.ndarray = 0,
+):
+    """Seed rows of the fused join for a (local) read block.
+
+    Returns (h, packed, payload): (M, R) hash / tagged ids and
+    (M, R, Wp+1) word payload. ``id_base``: global index of row 0 of
+    ``reads2`` — the sharded path numbers rows globally so candidate
+    decode (id // R) yields global read ids after routing.
+    """
+    M, L = reads2.shape
+    g, n_pos, R, pa, Wp = geo
+    positions = list(range(g)) + [g * (j + 1) for j in range(n_pos)]
+    shifted = shifted_word_packs(reads2)
+    payload = _row_payload(shifted, positions, g, L, Wp)   # (M, R, Wp+1)
+    if s == 32 and Wp >= 2:
+        # the 32-base seed key IS the first two payload words
+        k_hi, k_lo = payload[..., 0], payload[..., 1]
+    else:
+        k_hi, k_lo = seed_keys_at_positions(shifted, s, positions, L)
+    h = _mix32(k_hi, k_lo)
+    rv = jnp.broadcast_to(valid2[:, None], (M, R))
+    h = jnp.where(rv, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), _U32_MAX)
+    tag = jnp.concatenate(
+        [jnp.zeros((M, g), jnp.uint32),
+         jnp.full((M, n_pos), 0x80000000, jnp.uint32)], axis=1,
+    )
+    row0 = jnp.uint32(id_base) * jnp.uint32(R)
+    packed = tag | (
+        row0 + jnp.arange(M * R, dtype=jnp.uint32).reshape(M, R)
+    )
+    return h, packed, payload
+
+
 def find_overlaps(
     reads2: jnp.ndarray,
     valid2: jnp.ndarray,
@@ -501,44 +563,57 @@ def find_overlaps(
     if min_overlap >= L:
         raise ValueError(f"min_overlap ({min_overlap}) must be < read len ({L})")
 
-    pa = L - min_overlap                           # overlap starts 1..pa
-    g = auto_stride(min_overlap, s, pa) if stride is None else stride
-    if not 1 <= g <= min(16, min_overlap - s + 1):
-        raise ValueError(f"stride {g} invalid for min_overlap={min_overlap}, "
-                         f"seed={s}")
-    n_pos = -(-pa // g)                            # A probes at g*(j+1)
-    W = -(-L // 16)
-    R = g + n_pos                                  # seed rows per read
+    geo = join_geometry(L, min_overlap, s, stride)
+    g, n_pos, R, pa, Wp = geo
     N = M * R
     C = capacity
     if N >= 1 << 31:
         raise ValueError(f"seed rows {N} overflow 31-bit row ids")
 
-    positions = list(range(g)) + [g * (j + 1) for j in range(n_pos)]
-
-    # --- seed rows: keys, hash, payload (all static slices) ------------
-    shifted = shifted_word_packs(reads2)
-    Wp = -(-(L - g) // 16)                         # trimmed payload words
-    payload = _row_payload(shifted, positions, g, L, Wp)  # (M, R, Wp+1)
-    if s == 32 and Wp >= 2:
-        # the 32-base seed key IS the first two payload words
-        k_hi, k_lo = payload[..., 0], payload[..., 1]
-    else:
-        k_hi, k_lo = seed_keys_at_positions(shifted, s, positions, L)
-    h = _mix32(k_hi, k_lo)
-    rv = jnp.broadcast_to(valid2[:, None], (M, R))
-    h = jnp.where(rv, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), _U32_MAX)
-    tag = jnp.concatenate(
-        [jnp.zeros((M, g), jnp.uint32),
-         jnp.full((M, n_pos), 0x80000000, jnp.uint32)], axis=1,
+    h, packed, payload = build_seed_rows(reads2, valid2, s, geo)
+    ok, cand_a, cand_b, ovl, total = fused_join_core(
+        h.reshape(-1), packed.reshape(-1), payload.reshape(N, Wp + 1),
+        R, g, L, pa, Wp, C,
     )
-    packed = tag | (
-        jnp.arange(N, dtype=jnp.uint32).reshape(M, R)
+    overflow = total > C
+
+    # --- one-sort reduction (cond re-sort only on real duplicates) ------
+    k_src, k_dst, k_ovl, n_edges = _reduce_fused(
+        ok, cand_a, cand_b, ovl, L, M
+    )
+    n_verified = jnp.sum(ok.astype(jnp.int32))
+    return OverlapResult(
+        k_src, k_dst, k_ovl, n_edges, total, n_verified, overflow
     )
 
-    # --- one combined sort ----------------------------------------------
-    s_hash, s_packed = sort_by_keys([h.reshape(-1), packed.reshape(-1)])
-    sid = (s_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+def fused_join_core(
+    h: jnp.ndarray,
+    packed: jnp.ndarray,
+    payrows: jnp.ndarray,
+    R: int,
+    g: int,
+    L: int,
+    pa: int,
+    Wp: int,
+    C: int,
+):
+    """The fused sort-join + expansion + verify, on pre-built seed rows.
+
+    h: (N,) 32-bit seed hash (invalid rows forced to 0xFFFFFFFF);
+    packed: (N,) tag-bit | row id (id = read*R + t, reads may be
+    globally numbered — the sharded path feeds rows received from other
+    devices); payrows: (N, Wp+1) suffix/prev word payload, indexed by
+    POSITION (not id). Returns (ok, cand_a, cand_b, ovl, total): one
+    entry per candidate slot in [0, C).
+    """
+    N = h.shape[0]
+
+    # --- one combined sort (iota value makes the payload position-
+    # addressable regardless of global ids) ------------------------------
+    s_hash, s_packed, s_pos = sort_by_keys(
+        [h, packed], [jnp.arange(N, dtype=jnp.int32)]
+    )
 
     # --- scan-based run accounting --------------------------------------
     iota_n = jnp.arange(N, dtype=jnp.int32)
@@ -559,14 +634,13 @@ def find_overlaps(
     offsets = jnp.cumsum(counts)
     total = offsets[-1]
     starts = offsets - counts
-    overflow = total > C
 
     # payload pregather: each sorted row's id, suffix/prev words, and its
     # run_start + start — the latter two ride as columns so the expansion
     # below scatters a SINGLE value (wide scatters are disproportionately
     # expensive on this device; wide gathers are free)
     pays = jnp.concatenate(
-        [s_packed[:, None], payload.reshape(N, Wp + 1)[sid],
+        [s_packed[:, None], payrows[s_pos],
          run_start[:, None].astype(jnp.uint32),
          starts[:, None].astype(jnp.uint32)], axis=1
     )                                              # (N, Wp+4)
@@ -618,15 +692,7 @@ def find_overlaps(
         b0w >> jnp.clip(32 - 2 * o, 0, 31).astype(jnp.uint32),
     )
     ok = jnp.all(ok_word, axis=1) & (lhs == rhs) & cand_valid
-
-    # --- one-sort reduction (cond re-sort only on real duplicates) ------
-    k_src, k_dst, k_ovl, n_edges = _reduce_fused(
-        ok, cand_a, cand_b, ovl, L, M
-    )
-    n_verified = jnp.sum(ok.astype(jnp.int32))
-    return OverlapResult(
-        k_src, k_dst, k_ovl, n_edges, total, n_verified, overflow
-    )
+    return ok, cand_a, cand_b, ovl, total
 
 
 def _reduce_fused(

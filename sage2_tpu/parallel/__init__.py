@@ -3,6 +3,10 @@
 
 from sage2_tpu.parallel.mesh import init_distributed, make_mesh
 from sage2_tpu.parallel.sharded import (
+    gather_cyclic_shards,
+    gather_edge_shards,
+    partition_edges_by_src,
+    sharded_contract_unitigs,
     sharded_count_kmers,
     sharded_correct_reads,
     sharded_find_overlaps,
@@ -12,6 +16,10 @@ from sage2_tpu.parallel.sharded import (
 __all__ = [
     "init_distributed",
     "make_mesh",
+    "gather_cyclic_shards",
+    "gather_edge_shards",
+    "partition_edges_by_src",
+    "sharded_contract_unitigs",
     "sharded_count_kmers",
     "sharded_correct_reads",
     "sharded_find_overlaps",

@@ -36,11 +36,9 @@ from sage2_tpu.kmer.correct import (
 from sage2_tpu.ops import bitpack
 from sage2_tpu.ops.sort import (
     expand_by_counts,
-    expand_with_payload,
     lex_searchsorted,
     sort_by_keys,
 )
-from sage2_tpu.overlap.detect import verify_candidates
 
 _U32_MAX = jnp.uint32(0xFFFFFFFF)
 _I32_MAX = jnp.int32(2**31 - 1)
@@ -123,6 +121,54 @@ def _route_back(axis: str, answers: jnp.ndarray, routed: _Routed) -> jnp.ndarray
     back = jax.lax.all_to_all(answers, axis, 0, 0, tiled=True)
     ans = back[routed.dest, routed.rank]
     return jnp.where(routed.sent_ok, ans, jnp.zeros((), answers.dtype))
+
+
+def _route_rows(
+    axis: str,
+    owner: jnp.ndarray,
+    valid: jnp.ndarray,
+    rows: jnp.ndarray,
+    cap: int,
+    ndev: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One-way row routing: (Q, K) rows to owner devices in a SINGLE
+    all_to_all (one 3-D transfer instead of K per-column exchanges).
+
+    Returns (recv_rows (ndev*cap, K), recv_valid (ndev*cap,), overflow
+    (local bool — psum outside)). Rows beyond an owner's per-source
+    capacity are dropped and flagged.
+    """
+    Q, K = rows.shape
+    own = jnp.where(valid, owner, ndev)
+    idx = jnp.arange(Q, dtype=jnp.int32)
+    s_own, s_idx = sort_by_keys([own], [idx])
+    start = jnp.searchsorted(
+        s_own, jnp.arange(ndev, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    pos = jnp.arange(Q, dtype=jnp.int32)
+    rank_sorted = pos - start[jnp.minimum(s_own, ndev - 1)]
+    ok_sorted = (s_own < ndev) & (rank_sorted < cap)
+    slot_sorted = jnp.where(
+        ok_sorted, s_own * cap + rank_sorted, ndev * cap
+    )
+    overflow = jnp.any((s_own < ndev) & ~ok_sorted)
+    buf = (
+        jnp.zeros((ndev * cap + 1, K), rows.dtype)
+        .at[slot_sorted]
+        .set(jnp.where(ok_sorted[:, None], rows[s_idx],
+                       jnp.zeros((), rows.dtype)), mode="drop")[:-1]
+    )
+    vbuf = (
+        jnp.zeros(ndev * cap + 1, bool)
+        .at[slot_sorted].set(ok_sorted, mode="drop")[:-1]
+    )
+    recv = jax.lax.all_to_all(
+        buf.reshape(ndev, cap, K), axis, 0, 0, tiled=True
+    )
+    recv_valid = jax.lax.all_to_all(
+        vbuf.reshape(ndev, cap), axis, 0, 0, tiled=True
+    )
+    return recv.reshape(ndev * cap, K), recv_valid.reshape(-1), overflow
 
 
 # --------------------------------------------------------------------------
@@ -256,112 +302,434 @@ def sharded_correct_reads(
 # --------------------------------------------------------------------------
 
 
+def partition_edges_by_src(
+    src, dst, ovl, n_vertices: int, ndev: int, pad_multiple: int = 1024
+):
+    """HOST-side partition of a (src, dst)-sorted padded edge list into
+    per-device shards by src range (device d owns src in
+    [d*ceil(V/ndev), (d+1)*ceil(V/ndev))). Returns int32 arrays of shape
+    (ndev, E_d) padded with INT32_MAX/0; each shard stays sorted."""
+    import numpy as np
+
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    ovl = np.asarray(ovl)
+    v_d = -(-n_vertices // ndev)
+    real = src != (2**31 - 1)
+    counts = [
+        int(np.sum(real & (src >= d * v_d) & (src < (d + 1) * v_d)))
+        for d in range(ndev)
+    ]
+    e_d = -(-max(max(counts), 1) // pad_multiple) * pad_multiple
+    o_src = np.full((ndev, e_d), 2**31 - 1, np.int32)
+    o_dst = np.full((ndev, e_d), 2**31 - 1, np.int32)
+    o_ovl = np.zeros((ndev, e_d), np.int32)
+    for d in range(ndev):
+        m = real & (src >= d * v_d) & (src < (d + 1) * v_d)
+        n = counts[d]
+        o_src[d, :n] = src[m]
+        o_dst[d, :n] = dst[m]
+        o_ovl[d, :n] = ovl[m]
+    return o_src, o_dst, o_ovl, v_d
+
+
 def sharded_transitive_reduction(
     mesh: Mesh,
-    src: jnp.ndarray,
-    dst: jnp.ndarray,
-    ovl: jnp.ndarray,
+    src_sh: jnp.ndarray,
+    dst_sh: jnp.ndarray,
+    ovl_sh: jnp.ndarray,
     n_vertices: int,
     read_len: int,
-    capacity_per_device: int,
+    req_cap: int,
+    cand_cap: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
-    """Distributed Myers transitive reduction (SURVEY.md §3.4).
+    """Distributed Myers transitive reduction — NO edge-list replication
+    (round 2; replaces the round-1 all_gather of the whole edge list).
 
-    The length-2-path EXPANSION — the stage's quadratic hot loop — is
-    sharded: each device expands only its slice of the edge list against
-    the replicated (src, sl)-sorted adjacency, probes membership, and
-    scatters local removal hits; masks are psum-OR'd so the surviving
-    edge set is bit-identical to graph.reduce.transitive_reduction (one
-    pass over the ORIGINAL edge set, order-independent removal).
+    Edges live sharded by src range ((ndev, E_d) from
+    partition_edges_by_src), which co-locates every vertex's
+    out-adjacency and maxsl with its owner. Two routed phases:
 
-    Inputs are the globally (src, dst)-sorted padded edge list
-    (replicated); E must divide the mesh size. Returns replicated
-    (src, dst, ovl, n_edges, n_expansions, overflow).
+      1. each edge (v, w, sl_vw) sends a request
+         [v, w, sl_vw, maxsl(v) - sl_vw] to owner(w) (all-to-all);
+      2. owner(w) expands the request against w's LOCAL (src, sl)-sorted
+         adjacency (neighbors x with sl_wx <= bound), producing
+         candidates [v, x, sl_vw + sl_wx] routed back to owner(v), which
+         probes membership in its local (src, dst)-sorted slice and
+         scatter-marks removals.
+
+    Removal is defined on the ORIGINAL edge set (matching
+    graph.reduce.transitive_reduction bit-for-bit); per-device memory is
+    O(E/ndev + capacities). Returns per-device shards
+    (src, dst, ovl) of shape (ndev, E_d), sorted with padding at the
+    end, plus replicated (n_edges, n_expansions, overflow).
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    E = src.shape[0]
+    e_d = src_sh.shape[1]
     V = n_vertices
-    if E % ndev:
-        raise ValueError(f"edge capacity {E} must divide mesh size {ndev}")
+    v_d = -(-V // ndev)
+    u = lambda x: x.astype(jnp.uint32)
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None),
+                   P(), P(), P()),
         check_vma=False,
     )
-    def run(src_l, dst_l, ovl_l):
-        e_l = src_l.shape[0]
+    def run(src_2d, dst_2d, ovl_2d):
+        src_l = src_2d.reshape(-1)
+        dst_l = dst_2d.reshape(-1)
+        ovl_l = ovl_2d.reshape(-1)
         dev = jax.lax.axis_index(axis)
-        base = dev * e_l
-        src_g = jax.lax.all_gather(src_l, axis, tiled=True)
-        dst_g = jax.lax.all_gather(dst_l, axis, tiled=True)
-        ovl_g = jax.lax.all_gather(ovl_l, axis, tiled=True)
+        vbase = dev * v_d
 
-        is_edge_g = src_g != _I32_MAX
-        sl_g = jnp.where(is_edge_g, read_len - ovl_g, _I32_MAX)
-        ss_src, ss_sl, ss_dst = sort_by_keys([src_g, sl_g], [dst_g])
-        u = lambda x: x.astype(jnp.uint32)
-        start = lex_searchsorted(
-            u(ss_src), u(ss_sl), u(jnp.arange(V, dtype=jnp.int32)),
-            jnp.zeros(V, jnp.uint32), side="left",
-        )
-        seg = jnp.where(is_edge_g, src_g, V)
-        maxsl = jax.ops.segment_max(
-            jnp.where(is_edge_g, sl_g, -1), jnp.minimum(seg, V),
-            num_segments=V + 1,
-        )[:V]
-        maxsl = jnp.maximum(maxsl, -1)
-
-        # --- sharded expansion over the local edge slice ---------------
         is_edge = src_l != _I32_MAX
         sl_l = jnp.where(is_edge, read_len - ovl_l, _I32_MAX)
-        w = jnp.where(is_edge, dst_l, 0)
+
+        # local adjacency sorted by (src, sl) + local per-vertex maxsl
+        ss_src, ss_sl, ss_dst = sort_by_keys([src_l, sl_l], [dst_l])
+        seg = jnp.where(is_edge, src_l - vbase, v_d)
+        maxsl = jax.ops.segment_max(
+            jnp.where(is_edge, sl_l, -1),
+            jnp.clip(seg, 0, v_d), num_segments=v_d + 1,
+        )[:v_d]
+        maxsl = jnp.maximum(maxsl, -1)
+
+        # --- phase 1: requests to owner(w) ------------------------------
         bound = jnp.where(
-            is_edge, maxsl[jnp.minimum(src_l, V - 1)] - sl_l, -1
+            is_edge,
+            maxsl[jnp.clip(src_l - vbase, 0, v_d - 1)] - sl_l,
+            -1,
         )
-        upto = lex_searchsorted(u(ss_src), u(ss_sl), u(w), u(bound),
-                                side="right")
-        counts = jnp.where(is_edge & (bound >= 0), upto - start[w], 0)
+        req_valid = is_edge & (bound >= 0)
+        req_rows = jnp.stack([src_l, dst_l, sl_l, bound], axis=1)
+        req_owner = jnp.clip(dst_l // v_d, 0, ndev - 1)
+        recv_req, req_ok, ovf_req = _route_rows(
+            axis, req_owner, req_valid, req_rows, req_cap, ndev
+        )
+        rv, rw, rsl, rbound = (
+            recv_req[:, 0], recv_req[:, 1], recv_req[:, 2], recv_req[:, 3]
+        )
+
+        # --- phase 2: expand against w's local adjacency ----------------
+        start = lex_searchsorted(
+            u(ss_src), u(ss_sl), u(rw), jnp.zeros_like(u(rw)), side="left"
+        )
+        upto = lex_searchsorted(
+            u(ss_src), u(ss_sl), u(rw), u(rbound), side="right"
+        )
+        counts = jnp.where(req_ok, upto - start, 0)
         total_l = jnp.sum(counts)
-        overflow_l = total_l > capacity_per_device
+        ovf_exp = total_l > cand_cap
+        e1, rank, cand_ok = expand_by_counts(counts, cand_cap)
+        e2 = jnp.minimum(start[e1] + rank, ss_dst.shape[0] - 1)
+        cv = rv[e1]
+        cx = ss_dst[e2]
+        csls = rsl[e1] + ss_sl[e2]
+        cand_ok = cand_ok & (cx != cv)
 
-        e1, rank, valid = expand_by_counts(counts, capacity_per_device)
-        e2 = jnp.minimum(
-            start[jnp.minimum(dst_l[e1], V - 1)] + rank, E - 1
+        # --- phase 3: candidates to owner(v) ----------------------------
+        cand_rows = jnp.stack([cv, cx, csls], axis=1)
+        cand_owner = jnp.clip(cv // v_d, 0, ndev - 1)
+        recv_c, c_ok, ovf_cr = _route_rows(
+            axis, cand_owner, cand_ok, cand_rows, cand_cap, ndev
         )
-        v = src_l[e1]
-        x = ss_dst[e2]
-        sls = sl_l[e1] + ss_sl[e2]
-        valid = valid & (x != v)
+        pv, px, psls = recv_c[:, 0], recv_c[:, 1], recv_c[:, 2]
 
-        pos = lex_searchsorted(u(src_g), u(dst_g), u(v), u(x), side="left")
-        pos_c = jnp.minimum(pos, E - 1)
-        hit = valid & (src_g[pos_c] == v) & (dst_g[pos_c] == x) & (
-            read_len - ovl_g[pos_c] == sls
+        # --- phase 4: local membership probe + removal ------------------
+        e_l = src_l.shape[0]
+        pos = lex_searchsorted(
+            u(src_l), u(dst_l), u(pv), u(px), side="left"
         )
-        removed_l = (
-            jnp.zeros(E, jnp.int32)
-            .at[jnp.where(hit, pos_c, E)]
-            .max(1, mode="drop")
+        pos_c = jnp.minimum(pos, e_l - 1)
+        hit = c_ok & (src_l[pos_c] == pv) & (dst_l[pos_c] == px) & (
+            read_len - ovl_l[pos_c] == psls
         )
-        removed = jax.lax.psum(removed_l, axis) > 0
+        removed = (
+            jnp.zeros(e_l, bool)
+            .at[jnp.where(hit, pos_c, e_l)]
+            .set(True, mode="drop")
+        )
 
-        keep = is_edge_g & ~removed
-        o_src = jnp.where(keep, src_g, _I32_MAX)
-        o_dst = jnp.where(keep, dst_g, _I32_MAX)
-        o_ovl = jnp.where(keep, ovl_g, 0)
+        keep = is_edge & ~removed
+        o_src = jnp.where(keep, src_l, _I32_MAX)
+        o_dst = jnp.where(keep, dst_l, _I32_MAX)
+        o_ovl = jnp.where(keep, ovl_l, 0)
         o_src, o_dst, o_ovl = sort_by_keys([o_src, o_dst, o_ovl])
-        n_edges = jnp.sum(keep.astype(jnp.int32))
+        n_edges = jax.lax.psum(jnp.sum(keep.astype(jnp.int32)), axis)
         n_expansions = jax.lax.psum(total_l, axis)
-        overflow = jax.lax.psum(overflow_l.astype(jnp.int32), axis) > 0
-        del base
-        return o_src, o_dst, o_ovl, n_edges, n_expansions, overflow
+        overflow = jax.lax.psum(
+            (ovf_req | ovf_exp | ovf_cr).astype(jnp.int32), axis
+        ) > 0
+        return (
+            o_src[None], o_dst[None], o_ovl[None],
+            n_edges, n_expansions, overflow,
+        )
 
-    return run(src, dst, ovl)
+    return run(src_sh, dst_sh, ovl_sh)
+
+
+# --------------------------------------------------------------------------
+# sharded unitig labeling (pointer doubling with routed gathers)
+# --------------------------------------------------------------------------
+
+
+def _route_back_rows(
+    axis: str, answers: jnp.ndarray, routed: _Routed
+) -> jnp.ndarray:
+    """Row variant of _route_back: answers (ndev, cap, K) -> (Q, K)."""
+    back = jax.lax.all_to_all(answers, axis, 0, 0, tiled=True)
+    ans = back[routed.dest, routed.rank]
+    return jnp.where(
+        routed.sent_ok[:, None], ans, jnp.zeros((), answers.dtype)
+    )
+
+
+def _dedup_routed_gather(
+    axis: str,
+    ndev: int,
+    tables: Tuple[jnp.ndarray, ...],
+    idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    cap: int,
+):
+    """Distributed gather rows = [t[idx] for t in tables] with LOCAL
+    REQUEST DEDUP.
+
+    ``tables`` are (v_d,) arrays cyclically partitioned (vertex v lives
+    on device v % ndev at slot v // ndev). Pointer doubling concentrates
+    many queries on few targets (chain heads); deduplicating locally
+    first bounds per-destination traffic by the number of DISTINCT
+    targets, so the route capacity stays O(v_d / ndev)-ish instead of
+    O(v_d). Returns ((Q, K) answers, overflow)."""
+    Q = idx.shape[0]
+    iota = jnp.arange(Q, dtype=jnp.int32)
+    key = jnp.where(valid, idx, _I32_MAX)
+    s_key, s_ord = sort_by_keys([key], [iota])
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_key[:-1]])
+    is_head = (s_key != prev) & (s_key != _I32_MAX)
+    uniq = jnp.where(is_head, s_key, _I32_MAX)
+    # per sorted element: position of its run head; back to input order
+    head_pos = jax.lax.cummax(jnp.where(is_head, iota, 0))
+    pos_of_orig = jnp.zeros(Q, jnp.int32).at[s_ord].set(head_pos)
+
+    routed = _route(
+        axis, uniq % ndev, uniq != _I32_MAX, (uniq,), cap, ndev
+    )
+    g_idx = routed.recv[0]
+    slot = jnp.clip(g_idx // ndev, 0, tables[0].shape[0] - 1)
+    answers = jnp.stack(
+        [jnp.where(routed.recv_valid, t[slot], jnp.zeros((), t.dtype))
+         for t in tables], axis=-1,
+    )
+    back = _route_back_rows(axis, answers, routed)   # (Q, K) @ uniq pos
+    out = back[pos_of_orig]
+    out = jnp.where(valid[:, None], out, jnp.zeros((), back.dtype))
+    overflow = routed.overflow
+    return out, overflow
+
+
+def sharded_contract_unitigs(
+    mesh: Mesh,
+    src_sh: jnp.ndarray,
+    dst_sh: jnp.ndarray,
+    ovl_sh: jnp.ndarray,
+    n_vertices: int,
+    route_cap: int,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Distributed unambiguous-chain labeling (graph.traverse semantics,
+    bit-identical) — per-device memory O(V/ndev + E/ndev + route_cap).
+
+    Vertex state (head, dist, nxt, ovl_next, outdeg, indeg) lives
+    CYCLICALLY partitioned: vertex v on device v % ndev, slot v // ndev
+    (a range partition would send every chain's pointer-chase to one
+    owner; cyclic spreads them uniformly). Edges arrive sharded by src
+    range ((ndev, E_d), the reduction's output layout) and are re-routed
+    by src % ndev / dst % ndev for degree/successor construction. Each
+    pointer-doubling round is one deduplicated routed gather
+    (_dedup_routed_gather). O(log V) rounds, matching
+    graph.traverse.contract_unitigs exactly (same cycle breaking at the
+    minimum vertex id).
+
+    Returns ((head, dist, nxt, ovl_next, outdeg, indeg) each
+    (ndev, v_d) cyclic shards, overflow)."""
+    import math
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    V = n_vertices
+    v_d = -(-V // ndev)
+    steps = max(1, math.ceil(math.log2(max(V, 2))) + 1)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(tuple(P(axis, None) for _ in range(6)), P()),
+        check_vma=False,
+    )
+    def run(src_2d, dst_2d, ovl_2d):
+        src_l = src_2d.reshape(-1)
+        dst_l = dst_2d.reshape(-1)
+        ovl_l = ovl_2d.reshape(-1)
+        dev = jax.lax.axis_index(axis)
+        is_edge = src_l != _I32_MAX
+        any_ovf = jnp.zeros((), bool)
+
+        # --- route edges to cyclic owners of src and dst ----------------
+        erows = jnp.stack([src_l, dst_l, ovl_l], axis=1)
+        r_s, v_s, ovf1 = _route_rows(
+            axis, src_l % ndev, is_edge, erows, route_cap, ndev
+        )
+        r_d, v_d_ok, ovf2 = _route_rows(
+            axis, dst_l % ndev, is_edge, erows, route_cap, ndev
+        )
+        any_ovf |= ovf1 | ovf2
+
+        def myslot(v):
+            return jnp.clip(v // ndev, 0, v_d - 1)
+
+        # local outdeg / single successor (by src)
+        s_src, s_dst, s_ovl = r_s[:, 0], r_s[:, 1], r_s[:, 2]
+        seg_s = jnp.where(v_s, myslot(s_src), v_d)
+        ones = v_s.astype(jnp.int32)
+        outdeg = jax.ops.segment_sum(ones, seg_s, num_segments=v_d + 1)[:v_d]
+        succ = (
+            jnp.full(v_d + 1, -1, jnp.int32)
+            .at[seg_s].set(jnp.where(v_s, s_dst, -1), mode="drop")[:v_d]
+        )
+        succ_ovl = (
+            jnp.full(v_d + 1, 0, jnp.int32)
+            .at[seg_s].set(jnp.where(v_s, s_ovl, 0), mode="drop")[:v_d]
+        )
+        # local indeg / single predecessor (by dst)
+        d_src, d_dst = r_d[:, 0], r_d[:, 1]
+        seg_d = jnp.where(v_d_ok, myslot(d_dst), v_d)
+        indeg = jax.ops.segment_sum(
+            v_d_ok.astype(jnp.int32), seg_d, num_segments=v_d + 1
+        )[:v_d]
+        pred = (
+            jnp.full(v_d + 1, -1, jnp.int32)
+            .at[seg_d].set(jnp.where(v_d_ok, d_src, -1), mode="drop")[:v_d]
+        )
+
+        # --- chain masks (two routed gathers) ---------------------------
+        ideg_at_succ, ovf = _dedup_routed_gather(
+            axis, ndev, (indeg,), succ, succ >= 0, route_cap
+        )
+        any_ovf |= ovf
+        chain_out = (outdeg == 1) & (succ >= 0) & (
+            ideg_at_succ[:, 0] == 1
+        )
+        nxt = jnp.where(chain_out, succ, -1)
+        ovl_next = jnp.where(chain_out, succ_ovl, 0)
+        odeg_at_pred, ovf = _dedup_routed_gather(
+            axis, ndev, (outdeg,), pred, pred >= 0, route_cap
+        )
+        any_ovf |= ovf
+        chain_in = (indeg == 1) & (pred >= 0) & (odeg_at_pred[:, 0] == 1)
+        ids = dev + jnp.arange(v_d, dtype=jnp.int32) * ndev
+        in_range = ids < V
+        pred_c = jnp.maximum(pred, 0)
+        p = jnp.where(chain_in & in_range, pred_c, jnp.minimum(ids, V - 1))
+
+        # --- doubling helpers -------------------------------------------
+        def g1(tbl, idx):
+            out, ovf = _dedup_routed_gather(
+                axis, ndev, (tbl,), idx, jnp.ones_like(idx, bool), route_cap
+            )
+            return out[:, 0], ovf
+
+        def g2(t1, t2, idx):
+            out, ovf = _dedup_routed_gather(
+                axis, ndev, (t1, t2), idx, jnp.ones_like(idx, bool),
+                route_cap,
+            )
+            return out[:, 0], out[:, 1], ovf
+
+        def double(p0):
+            def body(_, carry):
+                p, ov = carry
+                np_, o = g1(p, p)
+                return np_, ov | o
+
+            return jax.lax.fori_loop(0, steps, body, (p0, jnp.zeros((), bool)))
+
+        def min_prop(p0):
+            def body(_, carry):
+                m, pp, ov = carry
+                m_at, p_at, o = g2(m, pp, pp)
+                return jnp.minimum(m, m_at), p_at, ov | o
+
+            m, _, ov = jax.lax.fori_loop(
+                0, steps, body,
+                (jnp.minimum(ids, V - 1), p0, jnp.zeros((), bool)),
+            )
+            return m, ov
+
+        pf, ovf = double(p)
+        any_ovf |= ovf
+        p_at_pf, ovf = g1(p, pf)
+        any_ovf |= ovf
+        in_cycle = p_at_pf != pf
+        m, ovf = min_prop(p)
+        any_ovf |= ovf
+        breaker = in_cycle & (m == jnp.minimum(ids, V - 1)) & in_range
+        p = jnp.where(breaker, jnp.minimum(ids, V - 1), p)
+        # dissolve the chain edge INTO each breaker: its predecessor's
+        # nxt/ovl_next reset — predecessors may be remote, so route them
+        bp_rows = jnp.stack([pred_c], axis=1)
+        r_bp, v_bp, ovf = _route_rows(
+            axis, pred_c % ndev, breaker & (pred >= 0), bp_rows,
+            route_cap, ndev,
+        )
+        any_ovf |= ovf
+        bslot = jnp.where(v_bp, myslot(r_bp[:, 0]), v_d)
+        nxt = jnp.concatenate([nxt, jnp.full((1,), -1, jnp.int32)])
+        nxt = nxt.at[bslot].set(-1, mode="drop")[:v_d]
+        ovl_next = jnp.concatenate([ovl_next, jnp.zeros((1,), jnp.int32)])
+        ovl_next = ovl_next.at[bslot].set(0, mode="drop")[:v_d]
+
+        head, ovf = double(p)
+        any_ovf |= ovf
+
+        dist = jnp.where(p != jnp.minimum(ids, V - 1), 1, 0).astype(jnp.int32)
+
+        def dist_body(_, carry):
+            d, pp, ov = carry
+            d_at, p_at, o = g2(d, pp, pp)
+            return d + d_at, p_at, ov | o
+
+        dist, _, ovf = jax.lax.fori_loop(
+            0, steps, dist_body, (dist, p, jnp.zeros((), bool))
+        )
+        any_ovf |= ovf
+
+        overflow = jax.lax.psum(any_ovf.astype(jnp.int32), axis) > 0
+        return (
+            (head[None], dist[None], nxt[None], ovl_next[None],
+             outdeg[None], indeg[None]),
+            overflow,
+        )
+
+    return run(src_sh, dst_sh, ovl_sh)
+
+
+def gather_cyclic_shards(shards, n_vertices: int):
+    """HOST-side reassembly of cyclic (ndev, v_d) vertex shards into the
+    global (V,) array: global[v] = shard[v % ndev, v // ndev]."""
+    import numpy as np
+
+    arr = np.asarray(shards)
+    ndev, v_d = arr.shape
+    out = np.empty(ndev * v_d, arr.dtype)
+    for d in range(ndev):
+        out[d::ndev] = arr[d]
+    return out[:n_vertices]
 
 
 # --------------------------------------------------------------------------
@@ -375,121 +743,135 @@ def sharded_find_overlaps(
     valid2: jnp.ndarray,
     min_overlap: int,
     seed_len: int,
-    route_cap: int,
+    row_cap: int,
     join_cap: int,
+    edge_cap: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Distributed suffix-prefix overlap detection (inverted strided join).
+    """Distributed fused-join overlap detection — NO per-device global
+    replication (round 2; replaces the round-1 all_gathered table/slab).
 
-    The g-offset-seeds-per-read B-table is all_gathered and sorted
-    replicated on every device; each device then joins only its
-    OWN read shard's strided A-side probe positions against it and verifies
-    against an all-gathered word-packed prefix replica. All candidates for a pair
-    (a, b) arise from a's A-side entries, which live on a's owner — so
-    the longest-per-pair reduction is complete locally; edge lists are
-    all_gathered and globally sorted for a replicated deterministic
-    result. (Streamed verification replaces the read replica for
-    table-scale inputs in a later round.)
-    Returns (src, dst, ovl, n_edges, overflow).
+    Every device builds the seed rows of ITS read shard (globally
+    numbered), then ONE bucketed all-to-all routes each row to the owner
+    of its 32-bit seed hash (SURVEY.md §2 parallelism table: "all-to-all
+    keyed by minimizer bucket"). All rows of a hash run land on one
+    owner, so each owner executes the same fused join core as the
+    single-device kernel on its received rows only. A second all-to-all
+    routes verified edges to their SOURCE read's owner, which merges and
+    dedups (longest per (src, dst) — pairs verifying at several lengths
+    can arrive from different hash owners). Per-device live memory is
+    O(M/ndev + capacities), never O(M).
+
+    Returns per-device edge shards (src, dst, ovl) of shape
+    (ndev, edge_cap) — device d's slice holds the edges whose src lies
+    in read range d, internally (src, dst)-sorted with INT32_MAX
+    padding, so the host-side concatenation of the trimmed slices is the
+    globally sorted edge list, bit-identical to detect.find_overlaps —
+    plus replicated (n_edges, overflow).
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
-    del route_cap  # inverted join routes nothing; kept for API stability
+    if edge_cap is None:
+        edge_cap = join_cap
+    if M % ndev:
+        raise ValueError(f"reads ({M}) must divide the mesh size ({ndev})")
+    m_local = M // ndev
 
     from sage2_tpu.overlap.detect import (
-        _prefix_join_parts,
-        auto_stride,
-        reduce_edge_candidates,
-        seed_keys_at_positions,
-        shifted_word_packs,
+        _reduce_fused,
+        build_seed_rows,
+        fused_join_core,
+        join_geometry,
     )
 
-    pa = L - min_overlap
-    g = auto_stride(min_overlap, s, pa)
-    n_pos = -(-pa // g)
+    geo = join_geometry(L, min_overlap, s)
+    g, n_pos, R, pa, Wp = geo
+    if M * R >= 1 << 31:
+        raise ValueError(f"global seed rows {M * R} overflow 31-bit ids")
+    n_recv = ndev * row_cap
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P()),
         check_vma=False,
     )
     def run(reads_local, valid_local):
-        m_local = reads_local.shape[0]
         dev = jax.lax.axis_index(axis)
         base = dev * m_local
-        all_valid = jax.lax.all_gather(valid_local, axis, tiled=True)
 
-        shifted_l = shifted_word_packs(reads_local)
-        # strided schedule (detect.find_overlaps): replicated global
-        # B-table of g offset seeds per read; local A probes every g-th
-        # position. Entry ids e = b*g + o stay globally consistent
-        # because the all_gather concatenates in device order.
-        b_hi_l, b_lo_l = seed_keys_at_positions(
-            shifted_l, s, list(range(g)), L
+        # --- local seed rows, globally numbered -------------------------
+        h, packed, payload = build_seed_rows(
+            reads_local, valid_local, s, geo, id_base=base
         )
-        a_hi_l, a_lo_l = seed_keys_at_positions(
-            shifted_l, s, [g * (j + 1) for j in range(n_pos)], L
+        n_l = m_local * R
+        rows = jnp.concatenate(
+            [h.reshape(n_l, 1), packed.reshape(n_l, 1),
+             payload.reshape(n_l, Wp + 1)], axis=1,
         )
-        b_hi = jax.lax.all_gather(b_hi_l, axis, tiled=True)
-        b_lo = jax.lax.all_gather(b_lo_l, axis, tiled=True)
-        b_valid = (
-            jnp.repeat(all_valid, g) if g > 1 else all_valid
-        )
-        b_entry, lo_idx_l, counts_l = _prefix_join_parts(
-            b_hi.reshape(-1), b_lo.reshape(-1), b_valid,
-            a_hi_l, a_lo_l, valid_local, seed_bits=2 * s,
-        )
-        counts = counts_l
-        n_cand_local = jnp.sum(counts)
-        join_overflow = n_cand_local > join_cap
-
-        # slot slab with embedded prefix words (detect.find_overlaps).
-        # Only word-packed prefixes cross devices (W uint32 per read,
-        # ~14x smaller than gathering the reads themselves).
-        words0 = jax.lax.all_gather(
-            bitpack.pack_read_words(reads_local), axis, tiled=True
-        )
-        slab = jnp.concatenate(
-            [b_entry[:, None].astype(jnp.uint32),
-             words0[jnp.minimum(b_entry // g, M - 1)]],
-            axis=1,
+        owner = (h.reshape(-1) % jnp.uint32(ndev)).astype(jnp.int32)
+        live = h.reshape(-1) != _U32_MAX
+        recv, recv_valid, ovf_rows = _route_rows(
+            axis, owner, live, rows, row_cap, ndev
         )
 
-        entry, rank, lo_of_entry, cand_valid = expand_with_payload(
-            counts.reshape(-1), lo_idx_l.reshape(-1), join_cap
+        # --- fused join on the received rows ----------------------------
+        rh = jnp.where(recv_valid, recv[:, 0], _U32_MAX)
+        rp = recv[:, 1]
+        ok, cand_a, cand_b, ovl, total = fused_join_core(
+            rh, rp, recv[:, 2:], R, g, L, pa, Wp, join_cap,
         )
-        cand_a = base + entry // n_pos
-        cand_p = (entry % n_pos + 1) * g
-        b_slot = jnp.minimum(lo_of_entry + rank, M * g - 1)
-        row = slab[b_slot]
-        e_b = row[:, 0].astype(jnp.int32)
-        cand_b = e_b // g
-        cand_p0 = cand_p - (e_b - cand_b * g)
-        cand_valid = (
-            cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
-        )
-        cand_p0 = jnp.clip(cand_p0, 1, pa)
+        ovf_join = total > join_cap
 
-        ok = verify_candidates(
-            reads_local, cand_a - base, cand_p0, cand_b,
-            shifted=shifted_l, words0=words0, max_p=pa,
-            b_words=row[:, 1:],
-        ) & cand_valid
-        ovl = L - cand_p0
-
-        e_src, e_dst, e_ovl, n_local = reduce_edge_candidates(
+        # --- local reduce, then route edges to their src owner ----------
+        k_src, k_dst, k_ovl, _n0 = _reduce_fused(
             ok, cand_a, cand_b, ovl, L, M
         )
+        e_valid = k_src != _I32_MAX
+        e_owner = jnp.clip(k_src // m_local, 0, ndev - 1)
+        erows = jnp.stack([k_src, k_dst, k_ovl], axis=1)
+        recv_e, recv_e_valid, ovf_er = _route_rows(
+            axis, e_owner, e_valid, erows, edge_cap, ndev
+        )
 
-        g_src = jax.lax.all_gather(e_src, axis, tiled=True)
-        g_dst = jax.lax.all_gather(e_dst, axis, tiled=True)
-        g_ovl = jax.lax.all_gather(e_ovl, axis, tiled=True)
-        g_src, g_dst, g_ovl = sort_by_keys([g_src, g_dst, g_ovl])
+        # --- final per-owner merge + dedup ------------------------------
+        f_src, f_dst, f_ovl, n_local = _reduce_fused(
+            recv_e_valid, recv_e[:, 0], recv_e[:, 1], recv_e[:, 2], L, M
+        )
+        ovf_edges = n_local > edge_cap
+
         n_edges = jax.lax.psum(n_local, axis)
-        overflow = jax.lax.psum(join_overflow.astype(jnp.int32), axis) > 0
-        return g_src, g_dst, g_ovl, n_edges, overflow
+        overflow = jax.lax.psum(
+            (ovf_rows | ovf_join | ovf_er | ovf_edges).astype(jnp.int32),
+            axis,
+        ) > 0
+        return (
+            f_src[None, :edge_cap], f_dst[None, :edge_cap],
+            f_ovl[None, :edge_cap], n_edges, overflow,
+        )
 
     return run(reads2, valid2)
+
+
+def gather_edge_shards(
+    src_sh, dst_sh, ovl_sh, n_edges
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """HOST-side concatenation of per-device edge shards into the
+    globally sorted padded edge list (device order == src-range order).
+    Host memory only — no device ever holds the global list."""
+    import numpy as np
+
+    src = np.asarray(src_sh).reshape(-1)
+    dst = np.asarray(dst_sh).reshape(-1)
+    ovl = np.asarray(ovl_sh).reshape(-1)
+    keep = src != (2**31 - 1)
+    n = int(n_edges)
+    out_src = np.full(src.shape[0], 2**31 - 1, np.int32)
+    out_dst = np.full(src.shape[0], 2**31 - 1, np.int32)
+    out_ovl = np.zeros(src.shape[0], np.int32)
+    out_src[:n] = src[keep]
+    out_dst[:n] = dst[keep]
+    out_ovl[:n] = ovl[keep]
+    return out_src, out_dst, out_ovl

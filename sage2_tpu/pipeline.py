@@ -163,7 +163,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
     if start <= STAGES.index("overlap"):
         rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
         if mesh is not None:
+            from sage2_tpu.overlap.detect import join_geometry
             from sage2_tpu.parallel import sharded_find_overlaps
+            from sage2_tpu.parallel.sharded import gather_edge_shards
 
             nd = mesh.devices.size
             M2 = rs.reads2.shape[0]
@@ -174,23 +176,44 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             valid2 = jnp.concatenate(
                 [rs.valid2, jnp.zeros((padm,), bool)]
             ) if padm else rs.valid2
-            join_cap = max(1 << 16, 32 * M2 // nd)
-            with log.timed("overlap", sharded=True):
-                src, dst, ovl_, n_edges, ovf = sharded_find_overlaps(
-                    mesh, reads2, valid2, config.min_overlap,
-                    config.effective_seed_len, route_cap=0,
-                    join_cap=join_cap,
-                )
-                src.block_until_ready()
-            assert not bool(ovf), "sharded overlap capacity overflow"
-
-            class _Res:
-                pass
-
-            res = _Res()
-            res.src, res.dst, res.ovl = src, dst, ovl_
-            res.n_edges, res.n_candidates = n_edges, n_edges
-            res.overflow = ovf
+            Mp = M2 + padm
+            geo = join_geometry(
+                L, config.min_overlap, config.effective_seed_len
+            )
+            # per-device capacities: every array inside the sharded stage
+            # is O(M/ndev + cap) — logged below as the o(global) evidence
+            row_cap = max(4096, 2 * (Mp // nd) * geo.R // nd)
+            join_cap = max(1 << 16, 32 * Mp // nd)
+            edge_cap = join_cap
+            while True:
+                with log.timed("overlap", sharded=True):
+                    (src_sh, dst_sh, ovl_sh, n_edges,
+                     ovf) = sharded_find_overlaps(
+                        mesh, reads2, valid2, config.min_overlap,
+                        config.effective_seed_len, row_cap=row_cap,
+                        join_cap=join_cap, edge_cap=edge_cap,
+                    )
+                    src_sh.block_until_ready()
+                if not bool(ovf):
+                    break
+                row_cap *= 2
+                join_cap *= 2
+                edge_cap *= 2
+                log.log("overlap_retry", row_cap=row_cap,
+                        join_cap=join_cap, edge_cap=edge_cap)
+            e_src, e_dst, e_ovl = gather_edge_shards(
+                src_sh, dst_sh, ovl_sh, n_edges
+            )
+            n_edges_i = int(n_edges)
+            n_cand_i = n_edges_i
+            log.log(
+                "overlap_device_memory",
+                reads_per_device=Mp // nd,
+                seed_rows_per_device=(Mp // nd) * geo.R,
+                row_cap=row_cap, join_cap=join_cap, edge_cap=edge_cap,
+                global_reads=Mp,
+            )
+            edges = (e_src, e_dst, e_ovl)
         else:
             with log.timed("overlap"):
                 res = find_overlaps_auto(
@@ -199,15 +222,18 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
                 )
                 res.src.block_until_ready()
             assert not bool(res.overflow)
-        log.log("overlap_result", n_edges=int(res.n_edges),
-                n_candidates=int(res.n_candidates),
+            edges = (np.asarray(res.src), np.asarray(res.dst),
+                     np.asarray(res.ovl))
+            n_edges_i = int(res.n_edges)
+            n_cand_i = int(res.n_candidates)
+        log.log("overlap_result", n_edges=n_edges_i,
+                n_candidates=n_cand_i,
                 n_unique_reads=int(rs.n_unique))
-        edges = (np.asarray(res.src), np.asarray(res.dst), np.asarray(res.ovl))
         reads2_np = np.asarray(rs.reads2, dtype=np.int8)
         valid2_np = np.asarray(rs.valid2)
         mult_np = np.asarray(rs.multiplicity)
         _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
-              n_edges=int(res.n_edges), reads2=reads2_np, valid2=valid2_np,
+              n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
               multiplicity=mult_np)
         _manifest(outdir, config, "overlap")
     else:
@@ -220,35 +246,45 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
     # --- stage 4: transitive reduction (SURVEY.md §3.4) ----------------
     if start <= STAGES.index("reduce"):
         cap = config.reduce_capacity
+        reqc = None
         while True:
             if mesh is not None:
                 from sage2_tpu.parallel import sharded_transitive_reduction
+                from sage2_tpu.parallel.sharded import (
+                    gather_edge_shards,
+                    partition_edges_by_src,
+                )
 
                 nd = mesh.devices.size
-                e_src, e_dst, e_ovl = (jnp.asarray(e) for e in edges)
-                pad = (-e_src.shape[0]) % nd
-                if pad:
-                    e_src = jnp.concatenate(
-                        [e_src, jnp.full((pad,), 2**31 - 1, e_src.dtype)])
-                    e_dst = jnp.concatenate(
-                        [e_dst, jnp.full((pad,), 2**31 - 1, e_dst.dtype)])
-                    e_ovl = jnp.concatenate(
-                        [e_ovl, jnp.zeros((pad,), e_ovl.dtype)])
+                s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
+                    edges[0], edges[1], edges[2], V, nd
+                )
+                if reqc is None:
+                    reqc = max(4096, 2 * s_sh.shape[1] // nd)
                 cap_dev = -(-cap // nd)
                 with log.timed("reduce", capacity=cap, sharded=True):
                     (r_src, r_dst, r_ovl, r_n, r_exp,
                      r_ovf) = sharded_transitive_reduction(
-                        mesh, e_src, e_dst, e_ovl, V, L, cap_dev,
+                        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh),
+                        jnp.asarray(o_sh), V, L,
+                        req_cap=reqc,
+                        cand_cap=cap_dev,
                     )
                     r_src.block_until_ready()
-
-                class _Red:
-                    pass
-
-                red = _Red()
-                red.src, red.dst, red.ovl = r_src, r_dst, r_ovl
-                red.n_edges, red.n_expansions = r_n, r_exp
-                red.overflow = r_ovf
+                if not bool(r_ovf):
+                    log.log(
+                        "reduce_device_memory",
+                        edges_per_device=int(s_sh.shape[1]),
+                        req_cap=reqc,
+                        cand_cap=cap_dev, global_edges=int(edges[0].shape[0]),
+                    )
+                    g_src, g_dst, g_ovl = gather_edge_shards(
+                        r_src, r_dst, r_ovl, r_n
+                    )
+                    red_edges = (g_src, g_dst, g_ovl)
+                    red_n, red_exp = int(r_n), int(r_exp)
+                    break
+                red_exp = int(r_exp)
             else:
                 with log.timed("reduce", capacity=cap):
                     red = transitive_reduction(
@@ -256,8 +292,12 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
                         jnp.asarray(edges[2]), V, L, capacity=cap,
                     )
                     red.src.block_until_ready()
-            if not bool(red.overflow):
-                break
+                if not bool(red.overflow):
+                    red_edges = (np.asarray(red.src), np.asarray(red.dst),
+                                 np.asarray(red.ovl))
+                    red_n, red_exp = int(red.n_edges), int(red.n_expansions)
+                    break
+                red_exp = int(red.n_expansions)
             # jump straight to the kernel's exact expansion count (each
             # retry is a fresh compile — doubling wastes several)
             grain = 1 << 16
@@ -266,11 +306,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
                 # sharded: per-device imbalance can overflow below the
                 # exact global count — doubling covers it
                 2 * cap if mesh is not None else 0,
-                -(-int(int(red.n_expansions) * 1.05) // grain) * grain,
+                -(-int(red_exp * 1.05) // grain) * grain,
             )
+            if reqc is not None:
+                reqc *= 2  # request routing may also have overflowed
             log.log("reduce_retry", new_capacity=cap)
-        log.log("reduce_result", n_edges=int(red.n_edges))
-        redges = (np.asarray(red.src), np.asarray(red.dst), np.asarray(red.ovl))
+        log.log("reduce_result", n_edges=red_n)
+        redges = red_edges
         _save(outdir, "reduced", src=redges[0], dst=redges[1], ovl=redges[2])
         _manifest(outdir, config, "reduce")
     else:
@@ -279,13 +321,46 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
 
     # --- stage 5: unitig labeling (SURVEY.md §3.5) ---------------------
     if start <= STAGES.index("traverse"):
-        with log.timed("traverse"):
-            labels = contract_unitigs(
-                jnp.asarray(redges[0]), jnp.asarray(redges[1]),
-                jnp.asarray(redges[2]), V,
+        if mesh is not None:
+            from sage2_tpu.parallel import (
+                gather_cyclic_shards,
+                partition_edges_by_src,
+                sharded_contract_unitigs,
             )
-            labels.head.block_until_ready()
-        lab = {k: np.asarray(v) for k, v in labels._asdict().items()}
+
+            nd = mesh.devices.size
+            s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
+                redges[0], redges[1], redges[2], V, nd
+            )
+            rcap = max(4096, 2 * max(s_sh.shape[1], -(-V // nd)) // nd)
+            while True:
+                with log.timed("traverse", sharded=True):
+                    shards, t_ovf = sharded_contract_unitigs(
+                        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh),
+                        jnp.asarray(o_sh), V, route_cap=rcap,
+                    )
+                    shards[0].block_until_ready()
+                if not bool(t_ovf):
+                    break
+                rcap *= 2
+                log.log("traverse_retry", route_cap=rcap)
+            names = ["head", "dist", "nxt", "ovl_next", "outdeg", "indeg"]
+            lab = {
+                k: gather_cyclic_shards(sh, V)
+                for k, sh in zip(names, shards)
+            }
+            log.log("traverse_device_memory",
+                    vertices_per_device=-(-V // nd),
+                    edges_per_device=int(s_sh.shape[1]),
+                    route_cap=rcap, global_vertices=V)
+        else:
+            with log.timed("traverse"):
+                labels = contract_unitigs(
+                    jnp.asarray(redges[0]), jnp.asarray(redges[1]),
+                    jnp.asarray(redges[2]), V,
+                )
+                labels.head.block_until_ready()
+            lab = {k: np.asarray(v) for k, v in labels._asdict().items()}
         _save(outdir, "labels", **lab)
         _manifest(outdir, config, "traverse")
     else:

@@ -92,26 +92,39 @@ def _edge_set(src, dst, ovl):
 
 
 def test_sharded_overlaps_match_single(mesh):
+    from sage2_tpu.parallel.sharded import gather_edge_shards
+
     reads = _reads(seed=221, err=0.0)
     rs = prepare_reads(jnp.asarray(reads))
     single = find_overlaps(rs.reads2, rs.valid2, 20, capacity=1 << 15)
     assert not bool(single.overflow)
     src, dst, ovl, n_edges, overflow = sharded_find_overlaps(
         mesh, rs.reads2, rs.valid2, 20, seed_len=32,
-        route_cap=1 << 12, join_cap=1 << 13,
+        row_cap=1 << 12, join_cap=1 << 13,
     )
     assert not bool(overflow)
-    got = _edge_set(np.asarray(src), np.asarray(dst), np.asarray(ovl))
+    got = _edge_set(
+        np.asarray(src).reshape(-1), np.asarray(dst).reshape(-1),
+        np.asarray(ovl).reshape(-1),
+    )
     expect = _edge_set(
         np.asarray(single.src), np.asarray(single.dst), np.asarray(single.ovl)
     )
     assert got == expect
     assert int(n_edges) == int(single.n_edges)
+    # host concatenation of the per-device shards is bit-identical to
+    # the single-device sorted edge list
+    g_src, g_dst, g_ovl = gather_edge_shards(src, dst, ovl, n_edges)
+    n = int(n_edges)
+    np.testing.assert_array_equal(g_src[:n], np.asarray(single.src)[:n])
+    np.testing.assert_array_equal(g_dst[:n], np.asarray(single.dst)[:n])
+    np.testing.assert_array_equal(g_ovl[:n], np.asarray(single.ovl)[:n])
 
 
 def test_sharded_reduction_matches_single(mesh):
     from sage2_tpu.graph.reduce import transitive_reduction
     from sage2_tpu.parallel import sharded_transitive_reduction
+    from sage2_tpu.parallel.sharded import partition_edges_by_src
 
     reads = _reads(seed=231, err=0.0)
     rs = prepare_reads(jnp.asarray(reads))
@@ -124,13 +137,20 @@ def test_sharded_reduction_matches_single(mesh):
     )
     assert not bool(single.overflow)
 
+    s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
+        res.src, res.dst, res.ovl, V, 8, pad_multiple=256
+    )
     src, dst, ovl, n_edges, n_exp, overflow = sharded_transitive_reduction(
-        mesh, res.src, res.dst, res.ovl, V, L, capacity_per_device=1 << 13
+        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh), jnp.asarray(o_sh),
+        V, L, req_cap=1 << 11, cand_cap=1 << 12,
     )
     assert not bool(overflow)
     assert int(n_exp) == int(single.n_expansions)
     assert int(n_edges) == int(single.n_edges)
-    got = _edge_set(np.asarray(src), np.asarray(dst), np.asarray(ovl))
+    got = _edge_set(
+        np.asarray(src).reshape(-1), np.asarray(dst).reshape(-1),
+        np.asarray(ovl).reshape(-1),
+    )
     expect = _edge_set(
         np.asarray(single.src), np.asarray(single.dst), np.asarray(single.ovl)
     )
@@ -139,12 +159,48 @@ def test_sharded_reduction_matches_single(mesh):
 
 def test_sharded_reduction_overflow_flag(mesh):
     from sage2_tpu.parallel import sharded_transitive_reduction
+    from sage2_tpu.parallel.sharded import partition_edges_by_src
 
     reads = _reads(seed=231, err=0.0)
     rs = prepare_reads(jnp.asarray(reads))
     res = find_overlaps(rs.reads2, rs.valid2, 16, capacity=1 << 15)
     V, L = rs.reads2.shape
+    s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
+        res.src, res.dst, res.ovl, V, 8, pad_multiple=256
+    )
     *_, overflow = sharded_transitive_reduction(
-        mesh, res.src, res.dst, res.ovl, V, L, capacity_per_device=8
+        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh), jnp.asarray(o_sh),
+        V, L, req_cap=1 << 11, cand_cap=8,
     )
     assert bool(overflow)
+
+
+def test_sharded_unitig_labels_match_single(mesh):
+    from sage2_tpu.graph.reduce import transitive_reduction
+    from sage2_tpu.graph.traverse import contract_unitigs
+    from sage2_tpu.parallel import (
+        gather_cyclic_shards,
+        partition_edges_by_src,
+        sharded_contract_unitigs,
+    )
+
+    reads = _reads(seed=241, err=0.0)
+    rs = prepare_reads(jnp.asarray(reads))
+    res = find_overlaps(rs.reads2, rs.valid2, 16, capacity=1 << 15)
+    V, L = rs.reads2.shape
+    red = transitive_reduction(res.src, res.dst, res.ovl, V, L,
+                               capacity=1 << 15)
+    single = contract_unitigs(red.src, red.dst, red.ovl, V)
+
+    s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
+        red.src, red.dst, red.ovl, V, 8, pad_multiple=256
+    )
+    shards, overflow = sharded_contract_unitigs(
+        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh), jnp.asarray(o_sh),
+        V, route_cap=1 << 11,
+    )
+    assert not bool(overflow)
+    names = ["head", "dist", "nxt", "ovl_next", "outdeg", "indeg"]
+    for name, sh, ref in zip(names, shards, single):
+        got = gather_cyclic_shards(sh, V)
+        np.testing.assert_array_equal(got, np.asarray(ref), err_msg=name)
