@@ -39,6 +39,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="force a jax platform (e.g. cpu, axon)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="shard stages over an N-device mesh")
+    p.add_argument("--max-device-reads", type=int, default=None,
+                   metavar="N",
+                   help="stream count/correct/dedup/overlap in chunks of"
+                        " N reads when the input is larger (bounds device"
+                        " memory; bit-identical to in-core)")
 
 
 def _config(args) -> "AssemblyConfig":
@@ -54,6 +59,7 @@ def _config(args) -> "AssemblyConfig":
         candidate_capacity=args.candidate_capacity,
         reduce_capacity=args.reduce_capacity,
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else None,
+        max_device_reads=getattr(args, "max_device_reads", None),
     )
 
 

@@ -55,6 +55,14 @@ class AssemblyConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single device
     bucket_bits: int = 6            # k-mer bucket bits for the all-to-all merge
 
+    # --- streaming (SURVEY.md §7 "Datasets larger than HBM") ---
+    max_device_reads: Optional[int] = None  # cap on reads resident on the
+                                    # device at once; None => whole input
+                                    # in-core. When the input exceeds it,
+                                    # count/correct/dedup/overlap stream
+                                    # in chunks of this many reads
+                                    # (bit-identical to in-core).
+
     # --- misc ---
     read_len: Optional[int] = None  # fixed read length; None => infer from input
 

@@ -121,6 +121,14 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
         mesh = make_mesh(int(np.prod(config.mesh_shape)))
         log.log("mesh", n_devices=mesh.devices.size)
 
+    # larger-than-HBM streaming (SURVEY.md §7): chunk the device-facing
+    # stages when the input exceeds the configured residency budget
+    stream_chunk = None
+    if (config.max_device_reads is not None
+            and N > config.max_device_reads and mesh is None):
+        stream_chunk = config.max_device_reads
+        log.log("streaming", chunk_reads=stream_chunk, n_reads=N)
+
     # --- stage 1+2: count + correct (SURVEY.md §3.2) -------------------
     if start <= STAGES.index("correct"):
         if mesh is not None:
@@ -141,6 +149,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
                 corrected.block_until_ready()
             assert not bool(ovf), "sharded correction routing overflow"
             corrected_np = np.asarray(corrected, dtype=np.int8)[:N]
+        elif stream_chunk is not None:
+            from sage2_tpu.stream import correct_reads_chunked
+
+            with log.timed("correct", rounds=config.correction_rounds,
+                           streamed=True, chunk_reads=stream_chunk):
+                corrected_np = correct_reads_chunked(
+                    reads, config.k, config.solid_threshold,
+                    config.correction_rounds, chunk_reads=stream_chunk,
+                )
         else:
             r = jnp.asarray(reads.astype(np.int32))
             with log.timed("count", n_reads=N, read_len=L, k=config.k):
@@ -161,8 +178,55 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
 
     # --- stage 3: dedup + overlaps (SURVEY.md §3.3) --------------------
     if start <= STAGES.index("overlap"):
-        rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
-        if mesh is not None:
+        if stream_chunk is not None:
+            from sage2_tpu.stream import (
+                find_overlaps_chunked,
+                prepare_reads_chunked,
+            )
+
+            with log.timed("dedup", streamed=True):
+                reads2_np, valid2_np, mult_np, n_uniq = (
+                    prepare_reads_chunked(corrected_np, stream_chunk)
+                )
+            cap_chunk = max(1 << 16, 16 * stream_chunk)
+            while True:
+                with log.timed("overlap", streamed=True,
+                               chunk_reads=stream_chunk):
+                    e_src, e_dst, e_ovl, n_edges_i, ovf = (
+                        find_overlaps_chunked(
+                            reads2_np, valid2_np, config.min_overlap,
+                            chunk_reads=2 * stream_chunk,
+                            seed_len=config.effective_seed_len,
+                            capacity_per_chunk=cap_chunk,
+                        )
+                    )
+                if not ovf:
+                    break
+                cap_chunk *= 2
+                log.log("overlap_retry", capacity_per_chunk=cap_chunk)
+            # pad to a fixed-capacity sorted edge list (downstream format)
+            pad_to = max(1, -(-n_edges_i // (1 << 14)) * (1 << 14))
+            edges = tuple(
+                np.concatenate([
+                    a[:n_edges_i],
+                    np.full(pad_to - n_edges_i,
+                            2**31 - 1 if j < 2 else 0, np.int32),
+                ])
+                for j, a in enumerate((e_src, e_dst, e_ovl))
+            )
+            n_cand_i = n_edges_i
+            log.log("overlap_result", n_edges=n_edges_i,
+                    n_candidates=n_cand_i, n_unique_reads=n_uniq)
+            _save(outdir, "edges", src=edges[0], dst=edges[1],
+                  ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
+                  valid2=valid2_np, multiplicity=mult_np)
+            _manifest(outdir, config, "overlap")
+            rs = None
+        else:
+            rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
+        if rs is None:
+            pass
+        elif mesh is not None:
             from sage2_tpu.overlap.detect import join_geometry
             from sage2_tpu.parallel import sharded_find_overlaps
             from sage2_tpu.parallel.sharded import gather_edge_shards
@@ -226,16 +290,17 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
                      np.asarray(res.ovl))
             n_edges_i = int(res.n_edges)
             n_cand_i = int(res.n_candidates)
-        log.log("overlap_result", n_edges=n_edges_i,
-                n_candidates=n_cand_i,
-                n_unique_reads=int(rs.n_unique))
-        reads2_np = np.asarray(rs.reads2, dtype=np.int8)
-        valid2_np = np.asarray(rs.valid2)
-        mult_np = np.asarray(rs.multiplicity)
-        _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
-              n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
-              multiplicity=mult_np)
-        _manifest(outdir, config, "overlap")
+        if rs is not None:
+            log.log("overlap_result", n_edges=n_edges_i,
+                    n_candidates=n_cand_i,
+                    n_unique_reads=int(rs.n_unique))
+            reads2_np = np.asarray(rs.reads2, dtype=np.int8)
+            valid2_np = np.asarray(rs.valid2)
+            mult_np = np.asarray(rs.multiplicity)
+            _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
+                  n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
+                  multiplicity=mult_np)
+            _manifest(outdir, config, "overlap")
     else:
         z = np.load(os.path.join(outdir, "edges.npz"))
         edges = (z["src"], z["dst"], z["ovl"])

@@ -115,10 +115,16 @@ def find_overlaps_chunked(
     n_pos = -(-pa // g)
     I32_MAX = np.int32(2**31 - 1)
 
-    # --- pass 1: chunked B-side seed keys; merge-sorted global table ---
-    # bucket-only ordering (see detect.build_seed_table): each run is
-    # (hi, packed invalid-bit|entry-id) — 2 sort operands per merge
-    run: Optional[Tuple[jnp.ndarray, ...]] = None
+    # --- pass 1: chunked B-side seed keys; single final sort -----------
+    # bucket-only ordering (see detect.build_seed_table): operands are
+    # (hi, packed invalid-bit|entry-id). Per-chunk parts accumulate and
+    # ONE final sort orders them — re-sorting the growing run after
+    # every chunk was O(n_chunks * Mg log Mg) total sort work.
+    if M * g >= 1 << 31:
+        # entry ids pack as (invalid-bit | id) in one uint32 word
+        raise ValueError(f"seed table too large: {M * g} entries >= 2^31")
+    hi_parts = []
+    packed_parts = []
     words0_parts = []
     for i in range(0, M, chunk_reads):
         chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
@@ -134,14 +140,13 @@ def find_overlaps_chunked(
         packed = jnp.where(
             ev, jnp.uint32(0), jnp.uint32(0x80000000)
         ) | entry
-        part = sort_by_keys([hi, packed])
-        if run is None:
-            run = tuple(part)
-        else:
-            merged = [jnp.concatenate([a, b]) for a, b in zip(run, part)]
-            run = tuple(sort_by_keys(merged))
-    assert run is not None, "no reads"
-    b_hi_sorted, b_packed = run
+        hi_parts.append(hi)
+        packed_parts.append(packed)
+    assert hi_parts, "no reads"
+    b_hi_sorted, b_packed = sort_by_keys(
+        [jnp.concatenate(hi_parts), jnp.concatenate(packed_parts)]
+    )
+    del hi_parts, packed_parts
     b_entry = (b_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     b_val = ((b_packed >> 31) == 0).astype(jnp.int32)
     B = detect._pick_bucket_bits(M * g, M * n_pos, 2 * s, None)
@@ -154,7 +159,7 @@ def find_overlaps_chunked(
          words0[jnp.minimum(st.entry // g, M - 1)]],
         axis=1,
     )
-    del words0_parts, run
+    del words0_parts
 
     # --- pass 2: per-chunk probe + expand + verify + reduce -------------
     chunks_out = []
@@ -209,6 +214,66 @@ def find_overlaps_chunked(
     dst = np.concatenate([c[1] for c in chunks_out])
     ovl = np.concatenate([c[2] for c in chunks_out])
     return src, dst, ovl, n_edges_total, overflow
+
+
+def prepare_reads_chunked(
+    reads: np.ndarray, chunk_reads: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Host-side read dedup + RC augmentation for larger-than-HBM sets.
+
+    Bit-identical layout to overlap.prepare.prepare_reads (same
+    canonical-word stable sort, head-of-group representative, vertex
+    numbering): only the canonical packed words (W uint32/read) are
+    computed on device per chunk; the dedup sort runs on host, so device
+    memory stays bounded by one chunk. Returns host arrays
+    (reads2 int8 (2N, L), valid2, multiplicity, n_unique).
+    """
+    from sage2_tpu.ops import bitpack
+
+    N, L = reads.shape
+    canon_w_parts = []
+    take_rc_parts = []
+    for i in range(0, N, chunk_reads):
+        chunk = jnp.asarray(reads[i : i + chunk_reads].astype(np.int32))
+        fwd_w = bitpack.pack_read_words(chunk)
+        rc_w = bitpack.pack_read_words(bitpack.revcomp_codes(chunk))
+        from sage2_tpu.ops.sort import words_less
+
+        take_rc = words_less(rc_w, fwd_w)
+        canon_w_parts.append(np.asarray(
+            jnp.where(take_rc[:, None], rc_w, fwd_w)
+        ))
+        take_rc_parts.append(np.asarray(take_rc))
+    canon_w = np.concatenate(canon_w_parts)
+    take_rc = np.concatenate(take_rc_parts)
+    W = canon_w.shape[1]
+
+    # stable host sort on the canonical words (major key first)
+    order = np.lexsort(tuple(canon_w[:, j] for j in range(W - 1, -1, -1)))
+    s_keys = canon_w[order]
+    neq = np.ones(N, bool)
+    neq[1:] = (s_keys[1:] != s_keys[:-1]).any(axis=1)
+    group_id = np.cumsum(neq) - 1
+    n_unique = int(group_id[-1] + 1)
+
+    rep = np.zeros(n_unique, np.int64)
+    rep[group_id[neq]] = order[neq]
+    mult = np.bincount(group_id, minlength=n_unique).astype(np.int32)
+
+    uniq = reads[rep].astype(np.int8)
+    flip = take_rc[rep]
+    uniq[flip] = (3 - uniq[flip])[:, ::-1]
+
+    reads2 = np.zeros((2 * N, L), np.int8)
+    reads2[:n_unique] = uniq
+    reads2[N : N + n_unique] = (3 - uniq)[:, ::-1]
+    valid2 = np.zeros(2 * N, bool)
+    valid2[:n_unique] = True
+    valid2[N : N + n_unique] = True
+    mult2 = np.zeros(2 * N, np.int32)
+    mult2[:n_unique] = mult
+    mult2[N : N + n_unique] = mult
+    return reads2, valid2, mult2, n_unique
 
 
 def correct_reads_chunked(

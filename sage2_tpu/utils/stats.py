@@ -1,12 +1,22 @@
-"""Assembly statistics (contig counts, N50/L50, genome fraction).
+"""Assembly statistics: contig counts, N50/L50, and alignment-based
+reference validation (genome fraction, misassembly count).
 
 Matches the reference's final reporting stage (SURVEY.md §2
-"Output/stats": contig FASTA, N50, counts).
+"Output/stats") plus the QUAST-style reference metrics the acceptance
+configs ask for (BASELINE.json configs #1/#5: N50/misassembly parity on
+noisy data). Round 1 used exact-substring matching, which reads 0 the
+moment a contig carries one residual error; round 2 replaces it with a
+seed-and-extend alignment built on the repo's own k-mer machinery:
+anchor k-mers vote for diagonals (substitution-only alignment — the
+pipeline and simulator introduce no indels), and each sufficiently
+identical diagonal block contributes its MATCHING positions to genome
+coverage. On exact assemblies the numbers coincide with the exact
+method (every base of a verbatim contig matches on one diagonal).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -35,46 +45,137 @@ def assembly_stats(contigs: List[np.ndarray],
     }
     if genome is not None:
         out["genome_len"] = int(len(genome))
-        out["genome_fraction"] = _genome_fraction(contigs, genome)
+        out["genome_fraction"] = genome_fraction(contigs, genome)
     return out
 
 
-def count_misassembled(
-    contigs: List[np.ndarray], genome: np.ndarray
-) -> int:
-    """Contigs with no exact alignment to the genome (either strand).
+# --------------------------------------------------------------------------
+# seed-and-extend alignment (substitution-only)
+# --------------------------------------------------------------------------
 
-    The pipeline is exact end-to-end, so on error-free-by-construction
-    truth a correct contig must occur verbatim; any contig that doesn't
-    is a misassembly (join across repeats, chimera). Stand-in for QUAST
-    misassembly counting (SURVEY.md §4).
+_ALIGN_K = 21          # anchor k-mer length (42 bits in uint64)
+_ANCHOR_STRIDE = 64    # one anchor every this many contig bases
+_MAX_HITS = 8          # genome occurrences considered per anchor
+_MAX_DIAGONALS = 16    # diagonals evaluated per contig strand
+
+
+def _pack_kmers(codes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 values of all k-mers (big-endian base-4)."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    v = np.zeros(n, np.uint64)
+    c = codes.astype(np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | c[j : j + n]
+    return v
+
+
+class GenomeIndex:
+    """Sorted k-mer index of a reference genome (host side)."""
+
+    def __init__(self, genome: np.ndarray, k: int = _ALIGN_K):
+        self.genome = np.asarray(genome, dtype=np.int8)
+        self.k = k
+        v = _pack_kmers(self.genome, k)
+        self.order = np.argsort(v, kind="stable").astype(np.int64)
+        self.sorted_v = v[self.order]
+
+    def lookup(self, kval: np.uint64, max_hits: int = _MAX_HITS):
+        lo = int(np.searchsorted(self.sorted_v, kval, side="left"))
+        hi = int(np.searchsorted(self.sorted_v, kval, side="right"))
+        return self.order[lo : min(hi, lo + max_hits)]
+
+
+def _align_strand(
+    seq: np.ndarray, idx: GenomeIndex, min_identity: float
+) -> Tuple[float, List[Tuple[int, np.ndarray]]]:
+    """Best single-diagonal contig coverage + identity-gated blocks.
+
+    Returns (best_fraction_of_contig_matched, blocks) where each block
+    is (genome_start, matched_mask) for a diagonal whose overlap-region
+    identity >= min_identity.
     """
-    gbytes = genome.astype(np.uint8).tobytes()
-    bad = 0
-    for c in contigs:
-        rc = (3 - c)[::-1]
-        if (gbytes.find(c.astype(np.uint8).tobytes()) < 0
-                and gbytes.find(rc.astype(np.uint8).tobytes()) < 0):
-            bad += 1
-    return bad
+    g = idx.genome
+    k = idx.k
+    m = len(seq) - k + 1
+    if m <= 0:
+        return 0.0, []
+    kv = _pack_kmers(seq, k)
+    anchors = list(range(0, m, _ANCHOR_STRIDE))
+    if anchors[-1] != m - 1:
+        anchors.append(m - 1)
+    votes: Dict[int, int] = {}
+    for a in anchors:
+        for gpos in idx.lookup(kv[a]):
+            d = int(gpos) - a
+            votes[d] = votes.get(d, 0) + 1
+    best_frac = 0.0
+    blocks: List[Tuple[int, np.ndarray]] = []
+    top = sorted(votes.items(), key=lambda kvp: (-kvp[1], kvp[0]))
+    for d, _n in top[:_MAX_DIAGONALS]:
+        c_lo = max(0, -d)
+        c_hi = min(len(seq), len(g) - d)
+        if c_hi - c_lo < k:
+            continue
+        cseg = seq[c_lo:c_hi]
+        gseg = g[c_lo + d : c_hi + d]
+        match = cseg == gseg
+        identity = float(match.mean())
+        frac = float(match.sum()) / len(seq)
+        best_frac = max(best_frac, frac)
+        if identity >= min_identity:
+            blocks.append((c_lo + d, match))
+    return best_frac, blocks
 
 
-def _genome_fraction(contigs: List[np.ndarray], genome: np.ndarray) -> float:
-    """Fraction of genome positions covered by some exactly-aligned contig.
+def genome_fraction(
+    contigs: List[np.ndarray],
+    genome: np.ndarray,
+    min_identity: float = 0.95,
+) -> float:
+    """Fraction of genome positions matched by an aligned contig block.
 
-    Exact substring matching only (the pipeline is integer-exact): each
-    contig (or its reverse complement) is located in the genome; covered
-    positions are counted. Contigs that don't align exactly contribute
-    nothing — a conservative stand-in for QUAST-style genome fraction
-    (SURVEY.md §4: reference validation is metric-based).
+    Seed-and-extend: anchor k-mers vote diagonals; every diagonal block
+    with identity >= min_identity marks its MATCHING genome positions.
+    Equals the exact-substring fraction on exact assemblies; degrades
+    gracefully (per-base) when contigs carry residual errors.
     """
-    gbytes = genome.astype(np.uint8).tobytes()
+    if len(genome) == 0:
+        return 0.0
+    idx = GenomeIndex(np.asarray(genome, dtype=np.int8))
     covered = np.zeros(len(genome), bool)
     for c in contigs:
+        c = np.asarray(c, dtype=np.int8)
         for seq in (c, (3 - c)[::-1]):
-            sbytes = seq.astype(np.uint8).tobytes()
-            start = gbytes.find(sbytes)
-            while start >= 0:
-                covered[start : start + len(seq)] = True
-                start = gbytes.find(sbytes, start + 1)
-    return float(covered.mean()) if len(genome) else 0.0
+            _frac, blocks = _align_strand(seq, idx, min_identity)
+            for gstart, match in blocks:
+                covered[gstart : gstart + len(match)] |= match
+    return float(covered.mean())
+
+
+def count_misassembled(
+    contigs: List[np.ndarray],
+    genome: np.ndarray,
+    min_identity: float = 0.95,
+) -> int:
+    """Contigs with no single-diagonal placement explaining them.
+
+    A contig is misassembled when neither strand has one diagonal whose
+    matches cover >= min_identity of its length — i.e. it cannot be laid
+    onto the reference in one piece (relocation / chimeric join), even
+    allowing substitution errors. Alignment-based stand-in for QUAST
+    misassembly counting (SURVEY.md §4); agrees with the round-1 exact
+    check on exact assemblies.
+    """
+    idx = GenomeIndex(np.asarray(genome, dtype=np.int8))
+    bad = 0
+    for c in contigs:
+        c = np.asarray(c, dtype=np.int8)
+        best = 0.0
+        for seq in (c, (3 - c)[::-1]):
+            frac, _blocks = _align_strand(seq, idx, min_identity)
+            best = max(best, frac)
+        if best < min_identity:
+            bad += 1
+    return bad

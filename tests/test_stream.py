@@ -80,3 +80,45 @@ def test_chunked_overlaps_overflow_flag():
         chunk_reads=64, capacity_per_chunk=8,
     )
     assert overflow
+
+
+def test_streamed_assemble_bit_identical():
+    """Pipeline with max_device_reads smaller than the input produces
+    contigs bit-identical to the in-core run (SURVEY.md §7 'datasets
+    larger than HBM' wired into the product, not just stream.py)."""
+    from sage2_tpu.config import AssemblyConfig
+    from sage2_tpu.pipeline import assemble
+
+    genome = simulate_genome(4000, seed=77)
+    reads, _ = simulate_reads(
+        genome, read_len=70, coverage=25, error_rate=0.008, seed=78
+    )
+    cfg_core = AssemblyConfig(k=15, min_overlap=28, min_contig_len=120)
+    cfg_stream = AssemblyConfig(
+        k=15, min_overlap=28, min_contig_len=120,
+        max_device_reads=reads.shape[0] // 4,
+    )
+    c1, s1 = assemble(reads, cfg_core)
+    c2, s2 = assemble(reads, cfg_stream)
+    assert s1 == s2
+    assert len(c1) == len(c2)
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prepare_reads_chunked_matches_device():
+    from sage2_tpu.overlap import prepare_reads
+    from sage2_tpu.stream import prepare_reads_chunked
+
+    genome = simulate_genome(900, seed=91)
+    reads, _ = simulate_reads(
+        genome, read_len=50, coverage=20, error_rate=0.0, seed=92
+    )
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    r2, v2, m2, n_u = prepare_reads_chunked(reads.astype(np.int8), 37)
+    assert n_u == int(rs.n_unique)
+    np.testing.assert_array_equal(v2, np.asarray(rs.valid2))
+    np.testing.assert_array_equal(m2, np.asarray(rs.multiplicity))
+    np.testing.assert_array_equal(
+        r2[v2], np.asarray(rs.reads2, dtype=np.int8)[np.asarray(rs.valid2)]
+    )
