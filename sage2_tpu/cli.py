@@ -44,6 +44,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="stream count/correct/dedup/overlap in chunks of"
                         " N reads when the input is larger (bounds device"
                         " memory; bit-identical to in-core)")
+    p.add_argument("--paired", action="store_true",
+                   help="treat input files as (R1, R2) pairs; mate"
+                        " pairing survives dedup into the edges artifact")
 
 
 def _config(args) -> "AssemblyConfig":
@@ -156,7 +159,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     _setup_platform(args)
     from sage2_tpu.io import load_reads
 
-    reads = load_reads(args.reads, length_policy=args.length_policy)
+    mate_of = None
+    if getattr(args, "paired", False):
+        from sage2_tpu.io.fastq import load_read_pairs
+
+        reads, mate_of = load_read_pairs(
+            args.reads, length_policy=args.length_policy
+        )
+    else:
+        reads = load_reads(args.reads, length_policy=args.length_policy)
     if reads.size == 0:
         print("no reads loaded", file=sys.stderr)
         return 1
@@ -169,6 +180,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             reads, cfg, outdir=args.outdir,
             resume_from=getattr(args, "resume_from", None),
             profile_dir=getattr(args, "profile", None),
+            mate_of=mate_of,
         )
         print(json.dumps(stats, indent=1))
         return 0

@@ -122,3 +122,44 @@ def load_reads(
     if len(L) > 1:
         raise ValueError(f"input files have different read lengths: {L}")
     return np.concatenate(parts, axis=0)
+
+
+def load_read_pairs(
+    paths: Sequence[str], length_policy: str = "strict"
+):
+    """Load paired FASTQ/FASTA files (R1_a, R2_a, R1_b, R2_b, ...).
+
+    The reference's headline dataset is paired (BASELINE.json config #1
+    "Illumina 100bp paired"); pairing information must survive ingest
+    even though the v2 pipeline does not yet scaffold with it
+    (SURVEY.md §10). Files are consumed in (R1, R2) pairs; mates must
+    have equal counts per pair. Returns (reads (N, L), mate_of (N,)):
+    mate_of[i] is the row index of read i's mate.
+    """
+    if len(paths) % 2:
+        raise ValueError(
+            f"paired input needs an even number of files, got {len(paths)}"
+        )
+    blocks = []
+    mates = []
+    base = 0
+    for j in range(0, len(paths), 2):
+        r1 = load_reads(paths[j : j + 1], length_policy)
+        r2 = load_reads(paths[j + 1 : j + 2], length_policy)
+        if r1.shape[0] != r2.shape[0]:
+            raise ValueError(
+                f"mate files {paths[j]} / {paths[j + 1]} have "
+                f"{r1.shape[0]} vs {r2.shape[0]} reads"
+            )
+        n = r1.shape[0]
+        blocks.extend([r1, r2])
+        m = np.empty(2 * n, np.int64)
+        m[:n] = base + n + np.arange(n)
+        m[n:] = base + np.arange(n)
+        mates.append(m)
+        base += 2 * n
+    reads = np.concatenate(blocks, axis=0) if blocks else np.zeros(
+        (0, 0), np.int8
+    )
+    mate_of = np.concatenate(mates) if mates else np.zeros(0, np.int64)
+    return reads, mate_of

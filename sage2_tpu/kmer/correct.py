@@ -23,6 +23,7 @@ no per-base scalar loop, everything batched over (N, P) windows.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sage2_tpu.kmer.count import KmerTable, count_kmers, lookup_counts
@@ -97,6 +98,30 @@ def apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int):
     return new
 
 
+def _correct_impl(
+    reads: jnp.ndarray,
+    table_arrays,
+    k: int,
+    threshold: int,
+    rounds: int,
+) -> jnp.ndarray:
+    for r in range(rounds):
+        if r == 0 and table_arrays is not None:
+            t = KmerTable(*table_arrays, k)
+        else:
+            from sage2_tpu.kmer.count import _count_impl
+
+            t = KmerTable(*_count_impl(reads, k), k)
+        counts4, cur = _variant_counts_last(reads, t, k)
+        reads = apply_verdicts(reads, counts4, cur, k - 1, threshold)
+        counts4, cur = _variant_counts_first(reads, t, k)
+        reads = apply_verdicts(reads, counts4, cur, 0, threshold)
+    return reads
+
+
+_correct_jit = jax.jit(_correct_impl, static_argnums=(2, 3, 4))
+
+
 def correct_reads(
     reads: jnp.ndarray,
     k: int,
@@ -108,11 +133,10 @@ def correct_reads(
 
     ``table``: optional precomputed count table for the FIRST round (the
     pipeline passes the counting stage's artifact); later rounds recount.
+    One jit per (shape, k, threshold, rounds): eager per-op dispatch
+    costs ~24 ms/op on the bench device (BASELINE.md round-2 anatomy).
     """
-    for r in range(rounds):
-        t = table if (r == 0 and table is not None) else count_kmers(reads, k)
-        counts4, cur = _variant_counts_last(reads, t, k)
-        reads = apply_verdicts(reads, counts4, cur, k - 1, threshold)
-        counts4, cur = _variant_counts_first(reads, t, k)
-        reads = apply_verdicts(reads, counts4, cur, 0, threshold)
-    return reads
+    ta = None if table is None else (
+        table.hi, table.lo, table.count, table.n_unique
+    )
+    return _correct_jit(reads, ta, k, threshold, rounds)

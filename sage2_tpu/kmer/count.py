@@ -40,14 +40,23 @@ class KmerTable(NamedTuple):
     k: int
 
 
+def _count_impl(reads: jnp.ndarray, k: int):
+    hi, lo = bitpack.canonical_kmer_keys(reads, k)
+    t = count_from_keys(hi.reshape(-1), lo.reshape(-1), k)
+    return t.hi, t.lo, t.count, t.n_unique
+
+
+_count_jit = jax.jit(_count_impl, static_argnums=1)
+
+
 def count_kmers(reads: jnp.ndarray, k: int) -> KmerTable:
     """Count canonical k-mers of fixed-length reads (N, L).
 
     Table capacity is the total k-mer occurrence count N*(L-k+1) — the
-    worst case where every k-mer is unique.
+    worst case where every k-mer is unique. Jitted per (shape, k); the
+    static ``k`` field stays outside the jit boundary.
     """
-    hi, lo = bitpack.canonical_kmer_keys(reads, k)
-    return count_from_keys(hi.reshape(-1), lo.reshape(-1), k)
+    return KmerTable(*_count_jit(reads, k), k)
 
 
 def count_from_keys(hi: jnp.ndarray, lo: jnp.ndarray, k: int,
@@ -76,8 +85,46 @@ def count_from_keys(hi: jnp.ndarray, lo: jnp.ndarray, k: int,
 
 
 def lookup_counts(table: KmerTable, q_hi: jnp.ndarray, q_lo: jnp.ndarray):
-    """Counts of canonical query keys (0 where absent). Any query shape."""
-    pos = lex_searchsorted(table.hi, table.lo, q_hi, q_lo, side="left")
-    pos_c = jnp.minimum(pos, table.hi.shape[0] - 1)
-    found = (table.hi[pos_c] == q_hi) & (table.lo[pos_c] == q_lo)
-    return jnp.where(found, table.count[pos_c], 0)
+    """Counts of canonical query keys (0 where absent). Any query shape.
+
+    Implemented as ONE sort-join of table entries and queries instead of
+    a per-query lexicographic binary search: the search cost log2(T)
+    table gathers PER QUERY (the corrector probes 4 variants per window,
+    SURVEY.md §3.2 HOT LOOP) versus one combined sort plus one gather
+    and one scatter per element here — ~7x faster at E. coli scale on
+    the bench device, and the same trick the round-2 overlap join uses.
+    """
+    shape = q_hi.shape
+    qh = q_hi.reshape(-1)
+    ql = q_lo.reshape(-1)
+    Q = qh.shape[0]
+    T = table.hi.shape[0]
+    n = T + Q
+    if n >= 1 << 31:
+        raise ValueError(f"lookup too large: {n} rows")
+    # tag bit: entries (0) sort before queries (1) within a key run
+    packed = jnp.concatenate([
+        jnp.arange(T, dtype=jnp.uint32),
+        jnp.uint32(0x80000000) | jnp.arange(Q, dtype=jnp.uint32),
+    ])
+    cnts = jnp.concatenate([
+        table.count.astype(jnp.uint32), jnp.zeros(Q, jnp.uint32)
+    ])
+    s_hi, s_lo, s_packed, s_cnt = sort_by_keys(
+        [jnp.concatenate([table.hi, qh]),
+         jnp.concatenate([table.lo, ql]), packed], [cnts],
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    prev_hi = jnp.concatenate([s_hi[:1], s_hi[:-1]])
+    prev_lo = jnp.concatenate([s_lo[:1], s_lo[:-1]])
+    is_head = (iota == 0) | (s_hi != prev_hi) | (s_lo != prev_lo)
+    run_start = jax.lax.cummax(jnp.where(is_head, iota, 0))
+    head = jnp.stack([s_packed, s_cnt], axis=1)[run_start]
+    found = (head[:, 0] >> 31) == 0       # run begins with a table entry
+    ans = jnp.where(found, head[:, 1], 0).astype(jnp.int32)
+    is_query = (s_packed >> 31) == 1
+    qidx = jnp.where(
+        is_query, (s_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32), Q
+    )
+    out = jnp.zeros(Q + 1, jnp.int32).at[qidx].set(ans, mode="drop")[:Q]
+    return out.reshape(shape)

@@ -85,6 +85,40 @@ def _dot_pow4(codes: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.sum(codes.astype(jnp.uint32) * w, axis=-1, dtype=jnp.uint32)
 
 
+def shifted_word_packs(reads: jnp.ndarray) -> jnp.ndarray:
+    """Word packings of every read at all 16 base shifts: (N, 16, W).
+
+    shifted[n, r, t] packs bases [r + 16t, r + 16t + 16) of read n
+    (zero-padded past the end), so the 16-base word starting at ANY
+    position p is shifted[n, p % 16, p // 16]. One-time O(16 N L) cost
+    that makes every window extraction a static slice.
+    """
+    L = reads.shape[-1]
+    pad = jnp.zeros(reads.shape[:-1] + (15,), reads.dtype)
+    rp = jnp.concatenate([reads, pad], axis=-1)
+    packs = [pack_read_words(rp[..., r : r + L]) for r in range(16)]
+    return jnp.stack(packs, axis=-2)
+
+
+def _keys_from_packs(
+    shifted: jnp.ndarray, k: int, P: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(hi, lo) integer keys of windows [p, p+k) for p in [0, P) from
+    shifted word packs — O(N*P) memory (the previous windowed
+    formulation materialized (N, P, k) and fell over at scale)."""
+    his, los = [], []
+    for p in range(P):
+        w0 = shifted[..., p % 16, p // 16]
+        if k <= 16:
+            his.append(jnp.zeros_like(w0))
+            los.append(w0 >> jnp.uint32(2 * (16 - k)))
+        else:
+            q = p + k - 16
+            his.append(w0 >> jnp.uint32(2 * (32 - k)))
+            los.append(shifted[..., q % 16, q // 16])
+    return jnp.stack(his, axis=-1), jnp.stack(los, axis=-1)
+
+
 def kmer_keys(reads: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-strand keys of every k-mer of every read.
 
@@ -96,27 +130,26 @@ def kmer_keys(reads: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # restrict to k <= 31 so their SENTINEL stays unambiguous.
     if not 1 < k <= 32:
         raise ValueError(f"k must be in (1, 32], got {k}")
-    win = _windows(reads, k)
-    n_lo = min(k, 16)
-    n_hi = k - n_lo
-    lo = _dot_pow4(win[..., n_hi:], n_lo)
-    hi = _dot_pow4(win[..., :n_hi], n_hi)
-    return hi, lo
+    L = reads.shape[-1]
+    P = L - k + 1
+    if P < 1:
+        raise ValueError(f"k ({k}) exceeds read length ({L})")
+    return _keys_from_packs(shifted_word_packs(reads), k, P)
 
 
 def revcomp_kmer_keys(reads: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reverse-complement-strand keys of every k-mer (same window order).
 
-    rc(kmer)[j] = 3 - kmer[k-1-j]; computed directly from the forward
-    windows with reversed complemented weights.
+    Window p's reverse complement equals window (P-1-p) of the
+    reverse-complemented read, so the keys are the RC read's keys with
+    the window axis reversed.
     """
-    win = _windows(reads, k)
-    rc = (3 - win)[..., ::-1]
-    n_lo = min(k, 16)
-    n_hi = k - n_lo
-    lo = _dot_pow4(rc[..., n_hi:], n_lo)
-    hi = _dot_pow4(rc[..., :n_hi], n_hi)
-    return hi, lo
+    L = reads.shape[-1]
+    P = L - k + 1
+    if P < 1:
+        raise ValueError(f"k ({k}) exceeds read length ({L})")
+    hi, lo = _keys_from_packs(shifted_word_packs(revcomp_codes(reads)), k, P)
+    return hi[..., ::-1], lo[..., ::-1]
 
 
 def canonical_kmer_keys(

@@ -69,20 +69,10 @@ class OverlapResult(NamedTuple):
     overflow: jnp.ndarray
 
 
-def shifted_word_packs(reads2: jnp.ndarray) -> jnp.ndarray:
-    """Word packings of every read at all 16 base shifts: (M, 16, W).
-
-    shifted[m, r, t] packs bases [r + 16t, r + 16t + 16) of read m
-    (zero-padded past the end), so any suffix reads2[m, p:] is the word
-    run shifted[m, p % 16, p // 16 :]. One-time O(16 M L) cost that turns
-    per-base extension compares into per-word compares.
-    """
-    M, L = reads2.shape
-    W = -(-L // 16)
-    pad = jnp.zeros((M, 15), reads2.dtype)
-    rp = jnp.concatenate([reads2, pad], axis=1)
-    packs = [bitpack.pack_read_words(rp[:, r : r + L]) for r in range(16)]
-    return jnp.stack(packs, axis=1)
+# shared with the k-mer layer (ops.bitpack): word packings of every read
+# at all 16 base shifts, (M, 16, W) — any suffix reads2[m, p:] is the
+# word run shifted[m, p % 16, p // 16 :]
+shifted_word_packs = bitpack.shifted_word_packs
 
 
 def verify_candidates(

@@ -36,6 +36,10 @@ class ReadSet(NamedTuple):
     valid2: jnp.ndarray
     multiplicity: jnp.ndarray
     n_unique: jnp.ndarray
+    # vertex representing each INPUT read in its own orientation (input
+    # read i's sequence == reads2[vertex_of_read[i]]): carries per-read
+    # identity (e.g. mate pairing) through dedup
+    vertex_of_read: jnp.ndarray = None
 
     @property
     def capacity(self) -> int:
@@ -89,7 +93,14 @@ def prepare_reads(reads: jnp.ndarray) -> ReadSet:
     uniq = jnp.where(valid[:, None], canon[rep], 0)
     mult = jnp.where(valid, mult, 0)
 
+    # input read i -> its vertex: group g_i holds the canonical
+    # orientation; read i as read is the canonical row when it was NOT
+    # flipped, otherwise the RC row (offset by capacity N)
+    gid = jnp.zeros(N, jnp.int32).at[s_order].set(group_id)
+    vertex_of_read = gid + jnp.where(take_rc, N, 0).astype(jnp.int32)
+
     reads2 = jnp.concatenate([uniq, bitpack.revcomp_codes(uniq)], axis=0)
     valid2 = jnp.concatenate([valid, valid])
     mult2 = jnp.concatenate([mult, mult])
-    return ReadSet(reads2, valid2, mult2, n_unique.astype(jnp.int32))
+    return ReadSet(reads2, valid2, mult2, n_unique.astype(jnp.int32),
+                   vertex_of_read)

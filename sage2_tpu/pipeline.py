@@ -75,11 +75,15 @@ def assemble(
     metrics: Optional[MetricsLog] = None,
     resume_from: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    mate_of: Optional[np.ndarray] = None,
 ) -> Tuple[List[np.ndarray], Dict[str, float]]:
     """Assemble fixed-length reads (N, L) int codes -> (contigs, stats).
 
     ``profile_dir``: dump a jax.profiler trace (Perfetto/XProf) of the
     device stages there (SURVEY.md §5 "Tracing / profiling").
+    ``mate_of``: optional (N,) paired-end mate index per read (from
+    io.load_read_pairs); pairing survives dedup as vertex pairs in the
+    edges artifact (mate_pairs) for downstream use.
     """
     log = metrics or MetricsLog(
         os.path.join(outdir, "metrics.jsonl") if outdir else None
@@ -96,7 +100,7 @@ def assemble(
         trace_cm = contextlib.nullcontext()
     with trace_cm:
         return _assemble_inner(
-            reads, config, outdir, log, resume_from
+            reads, config, outdir, log, resume_from, mate_of
         )
 
 
@@ -110,7 +114,17 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
     return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
 
 
-def _assemble_inner(reads, config, outdir, log, resume_from):
+def _mate_pairs(vertex_of_read, mate_of) -> np.ndarray:
+    """(n_pairs, 2) int32 vertex pairs from per-read mates: row =
+    (vertex of R1-as-read, vertex of R2-as-read), each pair once."""
+    v = np.asarray(vertex_of_read)
+    m = np.asarray(mate_of)
+    i = np.arange(m.shape[0])
+    first = i < m
+    return np.stack([v[i[first]], v[m[first]]], axis=1).astype(np.int32)
+
+
+def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
     N, L = reads.shape
     start = STAGES.index(resume_from) if resume_from else 0
 
@@ -185,7 +199,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             )
 
             with log.timed("dedup", streamed=True):
-                reads2_np, valid2_np, mult_np, n_uniq = (
+                reads2_np, valid2_np, mult_np, n_uniq, vread_np = (
                     prepare_reads_chunked(corrected_np, stream_chunk)
                 )
             cap_chunk = max(1 << 16, 16 * stream_chunk)
@@ -217,9 +231,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             n_cand_i = n_edges_i
             log.log("overlap_result", n_edges=n_edges_i,
                     n_candidates=n_cand_i, n_unique_reads=n_uniq)
+            extra = {}
+            if mate_of is not None:
+                extra["mate_pairs"] = _mate_pairs(vread_np, mate_of)
+                log.log("mate_pairs", n_pairs=len(extra["mate_pairs"]))
             _save(outdir, "edges", src=edges[0], dst=edges[1],
                   ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
-                  valid2=valid2_np, multiplicity=mult_np)
+                  valid2=valid2_np, multiplicity=mult_np, **extra)
             _manifest(outdir, config, "overlap")
             rs = None
         else:
@@ -297,9 +315,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from):
             reads2_np = np.asarray(rs.reads2, dtype=np.int8)
             valid2_np = np.asarray(rs.valid2)
             mult_np = np.asarray(rs.multiplicity)
+            extra = {}
+            if mate_of is not None:
+                extra["mate_pairs"] = _mate_pairs(
+                    np.asarray(rs.vertex_of_read), mate_of
+                )
+                log.log("mate_pairs", n_pairs=len(extra["mate_pairs"]))
             _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
                   n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
-                  multiplicity=mult_np)
+                  multiplicity=mult_np, **extra)
             _manifest(outdir, config, "overlap")
     else:
         z = np.load(os.path.join(outdir, "edges.npz"))

@@ -226,7 +226,8 @@ def prepare_reads_chunked(
     numbering): only the canonical packed words (W uint32/read) are
     computed on device per chunk; the dedup sort runs on host, so device
     memory stays bounded by one chunk. Returns host arrays
-    (reads2 int8 (2N, L), valid2, multiplicity, n_unique).
+    (reads2 int8 (2N, L), valid2, multiplicity, n_unique,
+    vertex_of_read).
     """
     from sage2_tpu.ops import bitpack
 
@@ -259,6 +260,9 @@ def prepare_reads_chunked(
     rep = np.zeros(n_unique, np.int64)
     rep[group_id[neq]] = order[neq]
     mult = np.bincount(group_id, minlength=n_unique).astype(np.int32)
+    gid_in = np.empty(N, np.int32)
+    gid_in[order] = group_id.astype(np.int32)
+    vertex_of_read = gid_in + np.where(take_rc, N, 0).astype(np.int32)
 
     uniq = reads[rep].astype(np.int8)
     flip = take_rc[rep]
@@ -273,7 +277,7 @@ def prepare_reads_chunked(
     mult2 = np.zeros(2 * N, np.int32)
     mult2[:n_unique] = mult
     mult2[N : N + n_unique] = mult
-    return reads2, valid2, mult2, n_unique
+    return reads2, valid2, mult2, n_unique, vertex_of_read
 
 
 def correct_reads_chunked(

@@ -109,3 +109,45 @@ def test_cli_correct_and_overlap(tmp_path, capsys):
     lines = open(edges).read().strip().splitlines()
     assert lines[0].startswith("#src")
     assert len(lines) > 1
+
+
+def test_paired_ingest_and_artifact(tmp_path):
+    """R1/R2 pairing survives ingest and dedup: mate vertex pairs land
+    in the edges artifact and reference each mate's own sequence
+    (BASELINE.json config #1 'paired'; VERDICT round-1 item 10)."""
+    import jax
+
+    from sage2_tpu.config import AssemblyConfig
+    from sage2_tpu.data import simulate_genome, simulate_reads, write_fastq
+    from sage2_tpu.io.fastq import load_read_pairs
+    from sage2_tpu.pipeline import assemble
+
+    genome = simulate_genome(3000, seed=55)
+    fwd, _ = simulate_reads(genome, read_len=60, coverage=12,
+                            error_rate=0.0, seed=56)
+    n = fwd.shape[0] // 2
+    r1 = fwd[:n]
+    r2 = np.ascontiguousarray((3 - fwd[n : 2 * n])[:, ::-1])  # mates RC'd
+    f1 = str(tmp_path / "r1.fastq")
+    f2 = str(tmp_path / "r2.fastq")
+    write_fastq(f1, r1)
+    write_fastq(f2, r2)
+
+    reads, mate_of = load_read_pairs([f1, f2])
+    assert reads.shape[0] == 2 * n
+    np.testing.assert_array_equal(mate_of[mate_of], np.arange(2 * n))
+
+    outdir = str(tmp_path / "asm")
+    cfg = AssemblyConfig(k=15, min_overlap=30, min_contig_len=100)
+    assemble(reads, cfg, outdir=outdir, mate_of=mate_of)
+    z = np.load(outdir + "/edges.npz")
+    assert "mate_pairs" in z
+    pairs = z["mate_pairs"]
+    assert pairs.shape == (n, 2)
+    reads2 = z["reads2"]
+    # every mate pair references vertices carrying the mates' sequences
+    for j in range(0, n, max(1, n // 7)):
+        np.testing.assert_array_equal(
+            reads2[pairs[j, 0]], r1[j].astype(np.int8))
+        np.testing.assert_array_equal(
+            reads2[pairs[j, 1]], r2[j].astype(np.int8))

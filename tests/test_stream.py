@@ -115,10 +115,14 @@ def test_prepare_reads_chunked_matches_device():
         genome, read_len=50, coverage=20, error_rate=0.0, seed=92
     )
     rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
-    r2, v2, m2, n_u = prepare_reads_chunked(reads.astype(np.int8), 37)
+    r2, v2, m2, n_u, vread = prepare_reads_chunked(reads.astype(np.int8), 37)
     assert n_u == int(rs.n_unique)
     np.testing.assert_array_equal(v2, np.asarray(rs.valid2))
     np.testing.assert_array_equal(m2, np.asarray(rs.multiplicity))
     np.testing.assert_array_equal(
         r2[v2], np.asarray(rs.reads2, dtype=np.int8)[np.asarray(rs.valid2)]
     )
+    np.testing.assert_array_equal(vread, np.asarray(rs.vertex_of_read))
+    # each input read's vertex row carries its own sequence
+    for i in range(0, reads.shape[0], 17):
+        np.testing.assert_array_equal(r2[vread[i]], reads[i].astype(np.int8))
