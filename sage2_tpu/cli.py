@@ -32,9 +32,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    default="mincost")
     p.add_argument("--candidate-capacity", type=int, default=1 << 20)
     p.add_argument("--reduce-capacity", type=int, default=1 << 20)
-    p.add_argument("--length-policy", choices=["strict", "trim", "filter"],
+    p.add_argument("--length-policy",
+                   choices=["strict", "trim", "filter", "pad"],
                    default="strict",
-                   help="how to handle mixed read lengths at ingest")
+                   help="how to handle mixed read lengths at ingest;"
+                        " 'pad' keeps every read at its own length"
+                        " (lossless ragged mode)")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu, axon)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
@@ -160,7 +163,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     from sage2_tpu.io import load_reads
 
     mate_of = None
-    if getattr(args, "paired", False):
+    read_lengths = None
+    if args.length_policy == "pad":
+        if getattr(args, "paired", False):
+            ap.error("--paired with --length-policy pad is not supported yet")
+        from sage2_tpu.io.fastq import load_reads_ragged
+
+        reads, read_lengths = load_reads_ragged(args.reads)
+        if reads.size and (read_lengths == read_lengths[0]).all():
+            read_lengths = None        # uniform after all: fixed path
+    elif getattr(args, "paired", False):
         from sage2_tpu.io.fastq import load_read_pairs
 
         reads, mate_of = load_read_pairs(
@@ -181,6 +193,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             resume_from=getattr(args, "resume_from", None),
             profile_dir=getattr(args, "profile", None),
             mate_of=mate_of,
+            lengths=read_lengths,
         )
         print(json.dumps(stats, indent=1))
         return 0

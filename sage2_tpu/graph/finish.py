@@ -45,10 +45,18 @@ def build_unitig_graph(
     edges: Tuple[np.ndarray, np.ndarray, np.ndarray],
     valid2: np.ndarray,
     multiplicity: np.ndarray,
-    read_len: int,
+    read_len,
 ) -> UnitigGraph:
-    """Condense chain labels + reduced edges into the unitig graph."""
+    """Condense chain labels + reduced edges into the unitig graph.
+
+    ``read_len``: scalar, or a (V,) per-vertex length array for ragged
+    reads (unitig length / coverage then use each member's own length).
+    """
     V = head.shape[0]
+    if isinstance(read_len, int):
+        rlen = np.full(V, read_len, np.int64)
+    else:
+        rlen = np.asarray(read_len, np.int64)
     vids = np.nonzero(valid2)[0]
     order = np.lexsort((dist[vids], head[vids]))
     sv = vids[order]
@@ -67,11 +75,14 @@ def build_unitig_graph(
             j += 1
         chain = [int(v) for v in sv[i:j]]
         ovls = [int(ovl_next[v]) for v in chain[:-1]]
-        length = read_len + sum(read_len - o for o in ovls)
+        length = int(rlen[chain[0]]) + sum(
+            int(rlen[v]) - o for v, o in zip(chain[1:], ovls)
+        )
         mult = sum(int(multiplicity[v]) for v in chain)
+        bases = sum(int(multiplicity[v]) * int(rlen[v]) for v in chain)
         unitigs[uid] = Unitig(
             uid, chain, ovls, length, len(chain),
-            coverage=mult * read_len / max(length, 1),
+            coverage=bases / max(length, 1),
         )
         uid_of_head[chain[0]] = uid
         uid_of_tail[chain[-1]] = uid
@@ -450,14 +461,21 @@ def emit_contigs(
     paths: List[List[int]],
     reads2: np.ndarray,
     config: AssemblyConfig,
+    lengths: Optional[np.ndarray] = None,
 ) -> List[np.ndarray]:
     """Stitch paths into base sequences; canonical-orientation dedup.
 
     Each contig appears twice in the double-stranded graph (as its own
     reverse complement); only the lexicographically smaller orientation is
     emitted (SURVEY.md §7: deterministic, reshard-invariant output).
+    ``lengths``: per-vertex read lengths for ragged inputs (slices stop
+    at each read's own end instead of the padded row width).
     """
     L = reads2.shape[1]
+    if lengths is None:
+        rlen = np.full(reads2.shape[0], L, np.int64)
+    else:
+        rlen = np.asarray(lengths, np.int64)
     contigs = []
     for path in paths:
         pieces = []
@@ -470,11 +488,11 @@ def emit_contigs(
                 join = path_ovl(g, prev_tail, uid)
                 ovls = [join] + ovls
             else:
-                pieces.append(reads2[verts[0]])
+                pieces.append(reads2[verts[0]][: rlen[verts[0]]])
                 verts = verts[1:]
                 ovls = u.ovls
             for v, o in zip(verts, ovls):
-                pieces.append(reads2[v][o:])
+                pieces.append(reads2[v][o : rlen[v]])
             prev_tail = uid
         seq = np.concatenate(pieces) if pieces else np.zeros(0, reads2.dtype)
         if len(seq) < config.min_contig_len:

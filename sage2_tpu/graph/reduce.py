@@ -44,14 +44,26 @@ def transitive_reduction(
     dst: jnp.ndarray,
     ovl: jnp.ndarray,
     n_vertices: int,
-    read_len: int,
+    read_len,
     capacity: int = 1 << 20,
 ) -> ReducedGraph:
-    """Remove transitively-implied edges. Inputs sorted by (src, dst)."""
+    """Remove transitively-implied edges. Inputs sorted by (src, dst).
+
+    ``read_len``: scalar for fixed-length reads, or a (V,) per-vertex
+    length array for ragged reads — the edge offset is
+    sl = len(src) - overlap either way, and offsets stay exactly
+    additive along paths (each lives in its source read's coordinates),
+    so Myers reduction is unchanged.
+    """
     E = src.shape[0]
     V = n_vertices
     is_edge = src != _I32_MAX
-    sl = jnp.where(is_edge, read_len - ovl, _I32_MAX)
+    if isinstance(read_len, int):
+        src_len = read_len
+    else:
+        lens = jnp.asarray(read_len)
+        src_len = lens[jnp.clip(src, 0, V - 1)]
+    sl = jnp.where(is_edge, src_len - ovl, _I32_MAX)
 
     # adjacency view sorted by (src, sl); carry dst along
     ss_src, ss_sl, ss_dst = sort_by_keys([src, sl], [dst])
@@ -84,11 +96,16 @@ def transitive_reduction(
     sls = sl[e1] + ss_sl[e2]
     valid = valid & (x != v)
 
-    # membership probe in the (src, dst)-sorted list
+    # membership probe in the (src, dst)-sorted list (the probed edge's
+    # own sl — its src is v, so its length term is len(v))
     pos = lex_searchsorted(u(src), u(dst), u(v), u(x), side="left")
     pos_c = jnp.minimum(pos, E - 1)
+    if isinstance(read_len, int):
+        probe_len = read_len
+    else:
+        probe_len = lens[jnp.clip(v, 0, V - 1)]
     hit = valid & (src[pos_c] == v) & (dst[pos_c] == x) & (
-        read_len - ovl[pos_c] == sls
+        probe_len - ovl[pos_c] == sls
     )
     removed = (
         jnp.zeros(E, bool)

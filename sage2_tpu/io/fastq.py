@@ -86,6 +86,41 @@ def _to_array(
     return encode_ascii(arr).astype(np.int8)
 
 
+def _to_ragged(seqs: Sequence[bytes]):
+    """(reads padded with 0 to the max length, lengths) — the lossless
+    ingest mode for mixed-length inputs (length_policy='pad';
+    SURVEY.md §7 ragged idiom: pad-to-tile + masks)."""
+    if not seqs:
+        return np.zeros((0, 0), np.int8), np.zeros(0, np.int32)
+    lens = np.array([len(s) for s in seqs], np.int32)
+    Lmax = int(lens.max())
+    arr = np.zeros((len(seqs), Lmax), np.int8)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = encode_ascii(
+            np.frombuffer(s, dtype=np.uint8)
+        ).astype(np.int8)
+    return arr, lens
+
+
+def load_reads_ragged(paths: Sequence[str]):
+    """Load FASTQ/FASTA files preserving every read at its own length.
+
+    Returns (reads (N, Lmax) 0-padded int8, lengths (N,) int32). The
+    lossless alternative to length_policy='trim'/'filter' (round-1 gap:
+    those discard data on mixed-length inputs).
+    """
+    seqs: List[bytes] = []
+    for p in paths:
+        base = p[:-3] if p.endswith(".gz") else p
+        with _open(p) as f:
+            data = f.read()
+        if base.endswith((".fa", ".fasta", ".fna")):
+            seqs.extend(_parse_fasta_py(data))
+        else:
+            seqs.extend(_parse_fastq_py(data))
+    return _to_ragged(seqs)
+
+
 def read_fastq(path: str, length_policy: str = "strict") -> np.ndarray:
     """FASTQ(.gz) -> (N, L) int8 codes. Prefers the native C++ parser."""
     try:

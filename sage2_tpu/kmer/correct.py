@@ -80,9 +80,11 @@ def _variant_counts_first(reads, table: KmerTable, k: int):
     return jnp.moveaxis(lookup_counts(table, ch, cl), 0, -1), cur
 
 
-def apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int):
+def apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int,
+                   window_valid=None):
     """Apply the replacement rule; window w's verdict edits base
-    w + base_pos_offset."""
+    w + base_pos_offset. ``window_valid``: (N, P) mask for ragged reads
+    (windows past a read's end never edit)."""
     m = jnp.max(counts4, axis=-1)
     n_at_max = jnp.sum((counts4 == m[..., None]).astype(jnp.int32), axis=-1)
     cur_cnt = jnp.take_along_axis(
@@ -90,6 +92,8 @@ def apply_verdicts(reads, counts4, cur, base_pos_offset: int, threshold: int):
     )[..., 0]
     best = jnp.argmax(counts4, axis=-1).astype(reads.dtype)
     replace = (cur_cnt < threshold) & (m >= threshold) & (n_at_max == 1)
+    if window_valid is not None:
+        replace = replace & window_valid
     P = cur.shape[-1]
     new = reads
     sl = slice(base_pos_offset, base_pos_offset + P)
@@ -104,18 +108,23 @@ def _correct_impl(
     k: int,
     threshold: int,
     rounds: int,
+    lengths=None,
 ) -> jnp.ndarray:
+    P = reads.shape[-1] - k + 1
+    wvalid = None
+    if lengths is not None:
+        wvalid = jnp.arange(P)[None, :] < (lengths[:, None] - (k - 1))
     for r in range(rounds):
         if r == 0 and table_arrays is not None:
             t = KmerTable(*table_arrays, k)
         else:
             from sage2_tpu.kmer.count import _count_impl
 
-            t = KmerTable(*_count_impl(reads, k), k)
+            t = KmerTable(*_count_impl(reads, k, lengths), k)
         counts4, cur = _variant_counts_last(reads, t, k)
-        reads = apply_verdicts(reads, counts4, cur, k - 1, threshold)
+        reads = apply_verdicts(reads, counts4, cur, k - 1, threshold, wvalid)
         counts4, cur = _variant_counts_first(reads, t, k)
-        reads = apply_verdicts(reads, counts4, cur, 0, threshold)
+        reads = apply_verdicts(reads, counts4, cur, 0, threshold, wvalid)
     return reads
 
 
@@ -128,15 +137,18 @@ def correct_reads(
     threshold: int,
     rounds: int,
     table: KmerTable | None = None,
+    lengths: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Correct fixed-length reads (N, L). Returns corrected reads.
+    """Correct reads (N, L). Returns corrected reads.
 
     ``table``: optional precomputed count table for the FIRST round (the
     pipeline passes the counting stage's artifact); later rounds recount.
-    One jit per (shape, k, threshold, rounds): eager per-op dispatch
-    costs ~24 ms/op on the bench device (BASELINE.md round-2 anatomy).
+    ``lengths``: per-read lengths for ragged (0-padded) inputs — windows
+    past a read's end neither vote nor edit. One jit per (shape, k,
+    threshold, rounds): eager per-op dispatch costs ~24 ms/op on the
+    bench device (BASELINE.md round-2 anatomy).
     """
     ta = None if table is None else (
         table.hi, table.lo, table.count, table.n_unique
     )
-    return _correct_jit(reads, ta, k, threshold, rounds)
+    return _correct_jit(reads, ta, k, threshold, rounds, lengths)

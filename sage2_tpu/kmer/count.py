@@ -40,23 +40,33 @@ class KmerTable(NamedTuple):
     k: int
 
 
-def _count_impl(reads: jnp.ndarray, k: int):
+def _count_impl(reads: jnp.ndarray, k: int, lengths=None):
     hi, lo = bitpack.canonical_kmer_keys(reads, k)
-    t = count_from_keys(hi.reshape(-1), lo.reshape(-1), k)
+    valid = None
+    if lengths is not None:
+        P = reads.shape[-1] - k + 1
+        valid = (
+            jnp.arange(P)[None, :] < (lengths[:, None] - (k - 1))
+        ).reshape(-1)
+    t = count_from_keys(hi.reshape(-1), lo.reshape(-1), k, valid=valid)
     return t.hi, t.lo, t.count, t.n_unique
 
 
 _count_jit = jax.jit(_count_impl, static_argnums=1)
 
 
-def count_kmers(reads: jnp.ndarray, k: int) -> KmerTable:
-    """Count canonical k-mers of fixed-length reads (N, L).
+def count_kmers(
+    reads: jnp.ndarray, k: int, lengths: jnp.ndarray | None = None
+) -> KmerTable:
+    """Count canonical k-mers of reads (N, L).
 
-    Table capacity is the total k-mer occurrence count N*(L-k+1) — the
-    worst case where every k-mer is unique. Jitted per (shape, k); the
-    static ``k`` field stays outside the jit boundary.
+    ``lengths``: per-read lengths for ragged (0-padded) inputs — windows
+    past a read's end are masked out. Table capacity is the total k-mer
+    occurrence count N*(L-k+1) — the worst case where every k-mer is
+    unique. Jitted per (shape, k); the static ``k`` field stays outside
+    the jit boundary.
     """
-    return KmerTable(*_count_jit(reads, k), k)
+    return KmerTable(*_count_jit(reads, k, lengths), k)
 
 
 def count_from_keys(hi: jnp.ndarray, lo: jnp.ndarray, k: int,

@@ -57,7 +57,9 @@ class OverlapResult(NamedTuple):
     n_edges: scalar int32; n_candidates: scalar int32 (pre-reduction,
     for capacity diagnostics); overflow: scalar bool — candidates
     exceeded capacity, rerun with a larger one (SURVEY.md §7 escape
-    hatch).
+    hatch). contained: (M,) bool — vertex is fully contained in a
+    longer read (ragged inputs; all-False for fixed-length);
+    n_contained: scalar int32.
     """
 
     src: jnp.ndarray
@@ -67,6 +69,8 @@ class OverlapResult(NamedTuple):
     n_candidates: jnp.ndarray
     n_verified: jnp.ndarray
     overflow: jnp.ndarray
+    contained: jnp.ndarray = None
+    n_contained: jnp.ndarray = None
 
 
 # shared with the k-mer layer (ops.bitpack): word packings of every read
@@ -409,12 +413,16 @@ def _mix32(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 
 
 def _row_payload(
-    shifted: jnp.ndarray, positions, n_entries: int, L: int, W_pay: int
+    shifted: jnp.ndarray, positions, n_entries: int, L: int, W_pay: int,
+    lengths: jnp.ndarray,
 ) -> jnp.ndarray:
     """Per-(read, seed-position) payload rows for the fused join.
 
-    Row = [aw0..aw(W_pay-1), xw] where aw_t is the uint32 word covering
-    bases [pos + 16t, pos + 16t + 16) (zero-padded past the read end).
+    Row = [aw0..aw(W_pay-1), xw, len] where aw_t is the uint32 word
+    covering bases [pos + 16t, pos + 16t + 16) (zero-padded past the
+    read end) and ``len`` is the read's length (constant L for
+    fixed-length inputs — carrying it uniformly keeps ONE kernel for
+    ragged and fixed reads; gather width is free on this device).
     ``W_pay`` is the trimmed word count ceil((L - g) / 16): the verify
     compares at most L - g bases from the anchor, so later words never
     carry compared bits. The shared column xw is role-dependent: the
@@ -422,10 +430,11 @@ def _row_payload(
     read's FIRST word (bases [0, 16) — the B side of the prefix check);
     the rest are QUERY rows, whose xw is the prev-window word (bases
     [pos-16, pos), base pos-1 in the bottom 2 bits — the A side).
-    Static slices only. Returns (M, len(positions), W_pay + 1) uint32.
+    Static slices only. Returns (M, len(positions), W_pay + 2) uint32.
     """
     M = shifted.shape[0]
     W = shifted.shape[2]
+    lcol = lengths.astype(jnp.uint32)[:, None]
     rows = []
     for i, pos in enumerate(positions):
         r, w = pos % 16, pos // 16
@@ -441,7 +450,7 @@ def _row_payload(
             xw = shifted[:, 0, 0] >> jnp.uint32(2 * (16 - pos))
         else:
             xw = shifted[:, pos % 16, pos // 16 - 1]
-        rows.append(jnp.concatenate([aw, xw[:, None]], axis=1))
+        rows.append(jnp.concatenate([aw, xw[:, None], lcol], axis=1))
     return jnp.stack(rows, axis=1)
 
 
@@ -475,26 +484,36 @@ def build_seed_rows(
     s: int,
     geo: JoinGeometry,
     id_base: int | jnp.ndarray = 0,
+    lengths: jnp.ndarray | None = None,
 ):
     """Seed rows of the fused join for a (local) read block.
 
     Returns (h, packed, payload): (M, R) hash / tagged ids and
-    (M, R, Wp+1) word payload. ``id_base``: global index of row 0 of
+    (M, R, Wp+2) word payload. ``id_base``: global index of row 0 of
     ``reads2`` — the sharded path numbers rows globally so candidate
-    decode (id // R) yields global read ids after routing.
+    decode (id // R) yields global read ids after routing. ``lengths``:
+    per-read lengths for ragged inputs (None => every read is L); a row
+    is valid only when its whole seed lies inside the read.
     """
     M, L = reads2.shape
     g, n_pos, R, pa, Wp = geo
     positions = list(range(g)) + [g * (j + 1) for j in range(n_pos)]
+    if lengths is None:
+        lengths = jnp.full((M,), L, jnp.int32)
     shifted = shifted_word_packs(reads2)
-    payload = _row_payload(shifted, positions, g, L, Wp)   # (M, R, Wp+1)
+    payload = _row_payload(
+        shifted, positions, g, L, Wp, lengths
+    )                                              # (M, R, Wp+2)
     if s == 32 and Wp >= 2:
         # the 32-base seed key IS the first two payload words
         k_hi, k_lo = payload[..., 0], payload[..., 1]
     else:
         k_hi, k_lo = seed_keys_at_positions(shifted, s, positions, L)
     h = _mix32(k_hi, k_lo)
-    rv = jnp.broadcast_to(valid2[:, None], (M, R))
+    pos_arr = jnp.asarray(positions, jnp.int32)
+    rv = valid2[:, None] & (
+        pos_arr[None, :] + s <= lengths[:, None]
+    )
     h = jnp.where(rv, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), _U32_MAX)
     tag = jnp.concatenate(
         [jnp.zeros((M, g), jnp.uint32),
@@ -514,6 +533,7 @@ def find_overlaps(
     seed_len: int = 32,
     capacity: int = 1 << 20,
     stride: int | None = None,
+    lengths: jnp.ndarray | None = None,
 ) -> OverlapResult:
     """Detect all maximal proper exact suffix-prefix overlaps >= min_overlap.
 
@@ -560,12 +580,22 @@ def find_overlaps(
     if N >= 1 << 31:
         raise ValueError(f"seed rows {N} overflow 31-bit row ids")
 
-    h, packed, payload = build_seed_rows(reads2, valid2, s, geo)
-    ok, cand_a, cand_b, ovl, total = fused_join_core(
-        h.reshape(-1), packed.reshape(-1), payload.reshape(N, Wp + 1),
-        R, g, L, pa, Wp, C,
+    h, packed, payload = build_seed_rows(
+        reads2, valid2, s, geo, lengths=lengths
+    )
+    ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
+        h.reshape(-1), packed.reshape(-1), payload.reshape(N, Wp + 2),
+        R, g, L, pa, Wp, C, min_overlap,
     )
     overflow = total > C
+
+    # containment marks (ragged inputs; identically empty for fixed L)
+    contained = (
+        jnp.zeros(M + 1, bool)
+        .at[jnp.where(ok_cont, cand_b, M)]
+        .set(True, mode="drop")[:M]
+    )
+    n_contained = jnp.sum(contained.astype(jnp.int32))
 
     # --- one-sort reduction (cond re-sort only on real duplicates) ------
     k_src, k_dst, k_ovl, n_edges = _reduce_fused(
@@ -573,7 +603,8 @@ def find_overlaps(
     )
     n_verified = jnp.sum(ok.astype(jnp.int32))
     return OverlapResult(
-        k_src, k_dst, k_ovl, n_edges, total, n_verified, overflow
+        k_src, k_dst, k_ovl, n_edges, total, n_verified, overflow,
+        contained, n_contained,
     )
 
 
@@ -587,16 +618,24 @@ def fused_join_core(
     pa: int,
     Wp: int,
     C: int,
+    min_overlap: int | None = None,
 ):
     """The fused sort-join + expansion + verify, on pre-built seed rows.
 
     h: (N,) 32-bit seed hash (invalid rows forced to 0xFFFFFFFF);
     packed: (N,) tag-bit | row id (id = read*R + t, reads may be
     globally numbered — the sharded path feeds rows received from other
-    devices); payrows: (N, Wp+1) suffix/prev word payload, indexed by
-    POSITION (not id). Returns (ok, cand_a, cand_b, ovl, total): one
-    entry per candidate slot in [0, C).
+    devices); payrows: (N, Wp+2) suffix/prev word payload + read length,
+    indexed by POSITION (not id). Returns
+    (ok_edge, ok_contained, cand_a, cand_b, ovl, total): one entry per
+    candidate slot in [0, C). ok_edge marks verified proper dovetails
+    (v = lenA - p0 in [min_overlap, lenB)); ok_contained marks verified
+    full containments of B inside A (lenB <= lenA - p0). For
+    fixed-length inputs ok_contained is identically False and ok_edge
+    matches the round-2 fixed-length kernel bit for bit.
     """
+    if min_overlap is None:
+        min_overlap = L - pa
     N = h.shape[0]
 
     # --- one combined sort (iota value makes the payload position-
@@ -633,7 +672,7 @@ def fused_join_core(
         [s_packed[:, None], payrows[s_pos],
          run_start[:, None].astype(jnp.uint32),
          starts[:, None].astype(jnp.uint32)], axis=1
-    )                                              # (N, Wp+4)
+    )                                              # (N, Wp+5)
 
     # --- expansion: one 1-col monotone scatter + cummax -----------------
     # candidate starts are unique, so a plain dropped set suffices (and
@@ -649,9 +688,9 @@ def fused_join_core(
 
     # --- two candidate row gathers + elementwise verify -----------------
     pay_a = pays[jnp.clip(qpos, 0, N - 1)]
-    rank = iota_c - pay_a[:, Wp + 3].astype(jnp.int32)
+    rank = iota_c - pay_a[:, Wp + 4].astype(jnp.int32)
     bslot = jnp.clip(
-        pay_a[:, Wp + 2].astype(jnp.int32) + rank, 0, N - 1
+        pay_a[:, Wp + 3].astype(jnp.int32) + rank, 0, N - 1
     )
     pay_b = pays[bslot]
     qid = (pay_a[:, 0] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
@@ -661,13 +700,17 @@ def fused_join_core(
     cand_b = eid // R
     o = eid % R
     p0 = p - o
-    ovl = L - p0
-    cand_valid = slot_valid & (cand_a != cand_b) & (p0 <= pa)
+    len_a = pay_a[:, Wp + 2].astype(jnp.int32)
+    len_b = pay_b[:, Wp + 2].astype(jnp.int32)
+    ovl = len_a - p0                               # dovetail length v
+    cand_valid = slot_valid & (cand_a != cand_b)
 
     aq = pay_a[:, 1 : 1 + Wp]
     bo = pay_b[:, 1 : 1 + Wp]
     diff = aq ^ bo
-    lc2 = (L - p) * 2                              # compare bits from p
+    # compare from anchor p: min(lenA - p, lenB - o) bases — everything
+    # beyond either read's end is masked, so pad bases never compare
+    lc2 = jnp.minimum(len_a - p, len_b - o) * 2
     t16 = jnp.arange(Wp, dtype=jnp.int32)[None, :] * 32
     vb = jnp.clip(lc2[:, None] - t16, 0, 32)
     shift = jnp.clip(32 - vb, 0, 31).astype(jnp.uint32)
@@ -681,8 +724,10 @@ def fused_join_core(
         o == 0, jnp.uint32(0),
         b0w >> jnp.clip(32 - 2 * o, 0, 31).astype(jnp.uint32),
     )
-    ok = jnp.all(ok_word, axis=1) & (lhs == rhs) & cand_valid
-    return ok, cand_a, cand_b, ovl, total
+    match = jnp.all(ok_word, axis=1) & (lhs == rhs) & cand_valid
+    ok_edge = match & (ovl < len_b) & (ovl >= min_overlap)
+    ok_contained = match & (len_b <= ovl)
+    return ok_edge, ok_contained, cand_a, cand_b, ovl, total
 
 
 def _reduce_fused(
@@ -734,7 +779,13 @@ def _reduce_fused(
 
 @functools.lru_cache(maxsize=64)
 def _jitted_find(min_overlap: int, seed_len: int, capacity: int,
-                 stride: int | None):
+                 stride: int | None, ragged: bool):
+    if ragged:
+        return jax.jit(
+            lambda r, v, ln: find_overlaps(
+                r, v, min_overlap, seed_len, capacity, stride, lengths=ln
+            )
+        )
     return jax.jit(
         lambda r, v: find_overlaps(r, v, min_overlap, seed_len, capacity,
                                    stride)
@@ -748,6 +799,7 @@ def find_overlaps_auto(
     seed_len: int = 32,
     min_capacity: int = 1 << 14,
     stride: int | None = None,
+    lengths: jnp.ndarray | None = None,
 ) -> OverlapResult:
     """Single-pass overlap detection with self-sizing candidate capacity.
 
@@ -766,10 +818,15 @@ def find_overlaps_auto(
 
     # remember the resolved capacity per problem shape so repeated calls
     # (benchmarks, multi-batch pipelines) skip the overflow discovery run
-    memo_key = (M, reads2.shape[1], min_overlap, seed_len, stride)
+    memo_key = (M, reads2.shape[1], min_overlap, seed_len, stride,
+                lengths is not None)
     cap = _CAP_MEMO.get(memo_key) or round_up(16 * M)
     while True:
-        res = _jitted_find(min_overlap, seed_len, cap, stride)(reads2, valid2)
+        fn = _jitted_find(min_overlap, seed_len, cap, stride,
+                          lengths is not None)
+        res = fn(reads2, valid2, lengths) if lengths is not None else (
+            fn(reads2, valid2)
+        )
         # ONE batched readback: every separate device->host scalar fetch
         # costs a full relay round trip (~22 ms measured), so overflow is
         # derived host-side from the single n_candidates value

@@ -40,6 +40,8 @@ class ReadSet(NamedTuple):
     # read i's sequence == reads2[vertex_of_read[i]]): carries per-read
     # identity (e.g. mate pairing) through dedup
     vertex_of_read: jnp.ndarray = None
+    # per-vertex read lengths for ragged inputs (None => fixed length)
+    lengths2: jnp.ndarray = None
 
     @property
     def capacity(self) -> int:
@@ -50,16 +52,41 @@ class ReadSet(NamedTuple):
         return (v + n) % (2 * n)
 
 
-def prepare_reads(reads: jnp.ndarray) -> ReadSet:
-    """Collapse exact/RC duplicate fixed-length reads and add RC rows.
+def revcomp_ragged(reads: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse complement of each read's REAL bases, re-padded with 0 at
+    the end (padding must already be 0; ragged reads idiom, SURVEY.md §7
+    'bucket-by-size + pad-to-tile, with masks')."""
+    N, L = reads.shape
+    j = jnp.arange(L)[None, :]
+    real = j < lengths[:, None]
+    idx = jnp.where(real, lengths[:, None] - 1 - j, j)
+    vals = jnp.take_along_axis(reads, idx.astype(jnp.int32), axis=1)
+    return jnp.where(real, 3 - vals, 0)
+
+
+def prepare_reads(
+    reads: jnp.ndarray, lengths: jnp.ndarray | None = None
+) -> ReadSet:
+    """Collapse exact/RC duplicate reads and add RC rows.
 
     The canonical form of a read is lexicographic min(read, revcomp(read))
     on packed words; sorting canonical word keys groups duplicates. The
-    group representative keeps the canonical orientation.
+    group representative keeps the canonical orientation. For ragged
+    inputs (``lengths`` given, padding = 0) the length is part of the
+    dedup key, so a read is a duplicate only of an equal-LENGTH read;
+    true containments are handled by the overlap kernel's containment
+    detection instead.
     """
     N, L = reads.shape
+    if lengths is not None:
+        # enforce zero padding so packed-word keys are well defined
+        reads = jnp.where(
+            jnp.arange(L)[None, :] < lengths[:, None], reads, 0
+        )
+        rc = revcomp_ragged(reads, lengths)
+    else:
+        rc = bitpack.revcomp_codes(reads)
     fwd = reads
-    rc = bitpack.revcomp_codes(reads)
     fwd_w = bitpack.pack_read_words(fwd)
     rc_w = bitpack.pack_read_words(rc)
     take_rc = words_less(rc_w, fwd_w)
@@ -68,9 +95,12 @@ def prepare_reads(reads: jnp.ndarray) -> ReadSet:
     W = canon_w.shape[1]
 
     keys = [canon_w[:, j] for j in range(W)]
+    if lengths is not None:
+        keys = [lengths.astype(jnp.uint32)] + keys
     order = jnp.arange(N, dtype=jnp.int32)
     sorted_ops = sort_by_keys(keys, [order])
-    s_keys, s_order = sorted_ops[:W], sorted_ops[W]
+    s_keys, s_order = sorted_ops[:-1], sorted_ops[-1]
+    W = len(s_keys)
 
     neq = jnp.zeros(N, bool).at[0].set(True)
     for j in range(W):
@@ -99,8 +129,15 @@ def prepare_reads(reads: jnp.ndarray) -> ReadSet:
     gid = jnp.zeros(N, jnp.int32).at[s_order].set(group_id)
     vertex_of_read = gid + jnp.where(take_rc, N, 0).astype(jnp.int32)
 
-    reads2 = jnp.concatenate([uniq, bitpack.revcomp_codes(uniq)], axis=0)
+    if lengths is not None:
+        lens_u = jnp.where(valid, lengths[rep], 0).astype(jnp.int32)
+        rc_u = revcomp_ragged(uniq, lens_u)
+        lengths2 = jnp.concatenate([lens_u, lens_u])
+    else:
+        rc_u = bitpack.revcomp_codes(uniq)
+        lengths2 = None
+    reads2 = jnp.concatenate([uniq, rc_u], axis=0)
     valid2 = jnp.concatenate([valid, valid])
     mult2 = jnp.concatenate([mult, mult])
     return ReadSet(reads2, valid2, mult2, n_unique.astype(jnp.int32),
-                   vertex_of_read)
+                   vertex_of_read, lengths2)

@@ -809,7 +809,7 @@ def sharded_find_overlaps(
         n_l = m_local * R
         rows = jnp.concatenate(
             [h.reshape(n_l, 1), packed.reshape(n_l, 1),
-             payload.reshape(n_l, Wp + 1)], axis=1,
+             payload.reshape(n_l, Wp + 2)], axis=1,
         )
         owner = (h.reshape(-1) % jnp.uint32(ndev)).astype(jnp.int32)
         live = h.reshape(-1) != _U32_MAX
@@ -818,10 +818,12 @@ def sharded_find_overlaps(
         )
 
         # --- fused join on the received rows ----------------------------
+        # (fixed-length reads only on the sharded path; ok_cont is
+        # structurally empty and dropped)
         rh = jnp.where(recv_valid, recv[:, 0], _U32_MAX)
         rp = recv[:, 1]
-        ok, cand_a, cand_b, ovl, total = fused_join_core(
-            rh, rp, recv[:, 2:], R, g, L, pa, Wp, join_cap,
+        ok, _ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
+            rh, rp, recv[:, 2:], R, g, L, pa, Wp, join_cap, min_overlap,
         )
         ovf_join = total > join_cap
 

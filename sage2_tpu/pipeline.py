@@ -76,14 +76,21 @@ def assemble(
     resume_from: Optional[str] = None,
     profile_dir: Optional[str] = None,
     mate_of: Optional[np.ndarray] = None,
+    lengths: Optional[np.ndarray] = None,
 ) -> Tuple[List[np.ndarray], Dict[str, float]]:
-    """Assemble fixed-length reads (N, L) int codes -> (contigs, stats).
+    """Assemble reads (N, L) int codes -> (contigs, stats).
 
     ``profile_dir``: dump a jax.profiler trace (Perfetto/XProf) of the
     device stages there (SURVEY.md §5 "Tracing / profiling").
     ``mate_of``: optional (N,) paired-end mate index per read (from
     io.load_read_pairs); pairing survives dedup as vertex pairs in the
     edges artifact (mate_pairs) for downstream use.
+    ``lengths``: per-read lengths for ragged inputs (reads padded with
+    zeros to the array width; length_policy="pad" at ingest). Ragged
+    runs detect and remove CONTAINED reads (a read occurring inside a
+    longer one) before graph building, the SAGE containment-removal
+    step that degenerates to dedup for fixed-length reads. Ragged is
+    single-device in-core only this round (no mesh/streaming).
     """
     log = metrics or MetricsLog(
         os.path.join(outdir, "metrics.jsonl") if outdir else None
@@ -100,7 +107,7 @@ def assemble(
         trace_cm = contextlib.nullcontext()
     with trace_cm:
         return _assemble_inner(
-            reads, config, outdir, log, resume_from, mate_of
+            reads, config, outdir, log, resume_from, mate_of, lengths
         )
 
 
@@ -124,7 +131,8 @@ def _mate_pairs(vertex_of_read, mate_of) -> np.ndarray:
     return np.stack([v[i[first]], v[m[first]]], axis=1).astype(np.int32)
 
 
-def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
+def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
+                    lengths=None):
     N, L = reads.shape
     start = STAGES.index(resume_from) if resume_from else 0
 
@@ -142,6 +150,14 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
             and N > config.max_device_reads and mesh is None):
         stream_chunk = config.max_device_reads
         log.log("streaming", chunk_reads=stream_chunk, n_reads=N)
+
+    if lengths is not None and (mesh is not None or stream_chunk):
+        raise NotImplementedError(
+            "ragged reads are single-device in-core only this round"
+        )
+    lengths_dev = None if lengths is None else jnp.asarray(
+        np.asarray(lengths, np.int32)
+    )
 
     # --- stage 1+2: count + correct (SURVEY.md §3.2) -------------------
     if start <= STAGES.index("correct"):
@@ -175,13 +191,14 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
         else:
             r = jnp.asarray(reads.astype(np.int32))
             with log.timed("count", n_reads=N, read_len=L, k=config.k):
-                table = count_kmers(r, config.k)
+                table = count_kmers(r, config.k, lengths=lengths_dev)
                 table.hi.block_until_ready()
             log.log("count_result", n_unique=int(table.n_unique))
             with log.timed("correct", rounds=config.correction_rounds):
                 corrected = correct_reads(
                     r, config.k, config.solid_threshold,
                     config.correction_rounds, table=table,
+                    lengths=lengths_dev,
                 )
                 corrected.block_until_ready()
             corrected_np = np.asarray(corrected, dtype=np.int8)
@@ -241,7 +258,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
             _manifest(outdir, config, "overlap")
             rs = None
         else:
-            rs = prepare_reads(jnp.asarray(corrected_np.astype(np.int32)))
+            rs = prepare_reads(
+                jnp.asarray(corrected_np.astype(np.int32)),
+                lengths=lengths_dev,
+            )
         if rs is None:
             pass
         elif mesh is not None:
@@ -300,7 +320,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
             with log.timed("overlap"):
                 res = find_overlaps_auto(
                     rs.reads2, rs.valid2, config.min_overlap,
-                    config.effective_seed_len,
+                    config.effective_seed_len, lengths=rs.lengths2,
                 )
                 res.src.block_until_ready()
             assert not bool(res.overflow)
@@ -308,14 +328,47 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
                      np.asarray(res.ovl))
             n_edges_i = int(res.n_edges)
             n_cand_i = int(res.n_candidates)
+            if lengths is not None:
+                # SAGE containment removal: a contained read (either
+                # orientation) leaves the graph; its incident edges drop
+                cont = np.asarray(res.contained)
+                capn = cont.shape[0] // 2
+                cont = cont | np.roll(cont, capn)
+                n_cont = int(cont.sum())
+                log.log("containment", n_contained=n_cont)
+                if n_cont:
+                    e_src, e_dst, e_ovl = edges
+                    real = e_src != 2**31 - 1
+                    drop = real.copy()
+                    drop[real] = (cont[e_src[real]] | cont[e_dst[real]])
+                    keepm = real & ~drop
+                    nkeep = int(keepm.sum())
+                    pad_to = e_src.shape[0]
+                    ns = np.full(pad_to, 2**31 - 1, np.int32)
+                    nd2 = np.full(pad_to, 2**31 - 1, np.int32)
+                    no = np.zeros(pad_to, np.int32)
+                    ns[:nkeep] = e_src[keepm]
+                    nd2[:nkeep] = e_dst[keepm]
+                    no[:nkeep] = e_ovl[keepm]
+                    edges = (ns, nd2, no)
+                    n_edges_i = nkeep
+                    valid2_cont = np.asarray(rs.valid2) & ~cont
+                else:
+                    valid2_cont = None
+            else:
+                valid2_cont = None
         if rs is not None:
             log.log("overlap_result", n_edges=n_edges_i,
                     n_candidates=n_cand_i,
                     n_unique_reads=int(rs.n_unique))
             reads2_np = np.asarray(rs.reads2, dtype=np.int8)
             valid2_np = np.asarray(rs.valid2)
+            if lengths is not None and valid2_cont is not None:
+                valid2_np = valid2_cont
             mult_np = np.asarray(rs.multiplicity)
             extra = {}
+            if rs.lengths2 is not None:
+                extra["lengths2"] = np.asarray(rs.lengths2)
             if mate_of is not None:
                 extra["mate_pairs"] = _mate_pairs(
                     np.asarray(rs.vertex_of_read), mate_of
@@ -325,12 +378,18 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
                   n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
                   multiplicity=mult_np, **extra)
             _manifest(outdir, config, "overlap")
+        lengths2_np = (
+            None if rs is None or rs.lengths2 is None
+            else np.asarray(rs.lengths2)
+        )
     else:
         z = np.load(os.path.join(outdir, "edges.npz"))
         edges = (z["src"], z["dst"], z["ovl"])
         reads2_np, valid2_np, mult_np = z["reads2"], z["valid2"], z["multiplicity"]
+        lengths2_np = z["lengths2"] if "lengths2" in z else None
 
     V = reads2_np.shape[0]
+    vlen_arg = L if lengths2_np is None else lengths2_np
 
     # --- stage 4: transitive reduction (SURVEY.md §3.4) ----------------
     if start <= STAGES.index("reduce"):
@@ -378,7 +437,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
                 with log.timed("reduce", capacity=cap):
                     red = transitive_reduction(
                         jnp.asarray(edges[0]), jnp.asarray(edges[1]),
-                        jnp.asarray(edges[2]), V, L, capacity=cap,
+                        jnp.asarray(edges[2]), V, vlen_arg, capacity=cap,
                     )
                     red.src.block_until_ready()
                 if not bool(red.overflow):
@@ -459,7 +518,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
     with log.timed("finish"):
         g = build_unitig_graph(
             lab["head"], lab["dist"], lab["ovl_next"], redges,
-            valid2_np, mult_np, L,
+            valid2_np, mult_np, vlen_arg,
         )
         n_unitigs_raw = len(g.unitigs)
         capn = V // 2
@@ -484,7 +543,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None):
             )
         else:
             paths = join_paths(g)
-        contigs = emit_contigs(g, paths, reads2_np, config)
+        contigs = emit_contigs(
+            g, paths, reads2_np, config, lengths=lengths2_np,
+        )
     stats = assembly_stats(contigs)
     log.log("finish_result", n_unitigs=n_unitigs_raw, tips_removed=n_tips,
             single_copy_coverage=round(c1, 2),

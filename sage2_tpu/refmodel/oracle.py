@@ -106,16 +106,20 @@ def oracle_overlaps(
 
 
 def oracle_transitive_reduction(
-    edges: Dict[Tuple[int, int], int], read_len: int
+    edges: Dict[Tuple[int, int], int], read_len: int, lengths=None
 ) -> Dict[Tuple[int, int], int]:
     """Myers-style transitive reduction for exact overlap graphs.
 
-    Edge v->x (offset sl = L - overlap) is removed iff some w not in
-    {v, x} has v->w and w->x with sl_vx == sl_vw + sl_wx. Exact overlaps
-    need no fuzz parameter. (SURVEY.md §2 "Transitive reduction";
-    Myers 2005.)
+    Edge v->x (offset sl = len(v) - overlap) is removed iff some w not
+    in {v, x} has v->w and w->x with sl_vx == sl_vw + sl_wx. Exact
+    overlaps need no fuzz parameter. (SURVEY.md §2 "Transitive
+    reduction"; Myers 2005.) ``lengths``: per-vertex lengths for ragged
+    reads (default: every read is read_len).
     """
-    sl = {e: read_len - l for e, l in edges.items()}
+    def _len(v):
+        return read_len if lengths is None else lengths[v]
+
+    sl = {e: _len(e[0]) - l for e, l in edges.items()}
     out_adj: Dict[int, List[int]] = {}
     for (v, w) in edges:
         out_adj.setdefault(v, []).append(w)
@@ -171,3 +175,49 @@ def oracle_unitigs(
         start = int(np.argmin(cyc))
         chains.append(cyc[start:] + cyc[:start])
     return chains
+
+
+def oracle_overlaps_ragged(
+    reads: List[np.ndarray], min_overlap: int
+) -> Tuple[Dict[Tuple[int, int], int], Set[int]]:
+    """Ragged-read overlap semantics (pins the variable-length kernel).
+
+    reads: list of code arrays (arbitrary lengths). Returns
+    (edges, contained):
+
+    - DOVETAIL edge (a, b) -> v: the LARGEST v with
+      min_overlap <= v < len(b), v < len(a) (suffix start >= 1), and
+      reads[a][-v:] == reads[b][:v].
+    - CONTAINMENT: b in `contained` iff some a != b has
+      len(b) < len(a), len(b) >= min_overlap, and reads[b] occurring
+      anywhere in reads[a]. (Reads shorter than min_overlap form no
+      edges and no containments — they cannot carry a seed.)
+
+    Note edges are reported for ALL vertex pairs including contained
+    ones; the pipeline removes contained vertices and their incident
+    edges afterward (SAGE's containment removal).
+    """
+    out: Dict[Tuple[int, int], int] = {}
+    contained: Set[int] = set()
+    n = len(reads)
+    for a in range(n):
+        ra = reads[a]
+        la = len(ra)
+        for b in range(n):
+            if a == b:
+                continue
+            rb = reads[b]
+            lb = len(rb)
+            if lb < min_overlap:
+                continue
+            hi = min(la - 1, lb - 1)
+            for v in range(hi, min_overlap - 1, -1):
+                if np.array_equal(ra[la - v :], rb[:v]):
+                    out[(a, b)] = v
+                    break
+            if lb < la:
+                for q in range(la - lb + 1):
+                    if np.array_equal(ra[q : q + lb], rb):
+                        contained.add(b)
+                        break
+    return out, contained
