@@ -18,10 +18,12 @@ the ORIGINAL edge set, matching the oracle.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sage2_tpu.ops.sort import expand_by_counts, lex_searchsorted, sort_by_keys
 
@@ -120,3 +122,161 @@ def transitive_reduction(
     o_src, o_dst, o_ovl = sort_by_keys([o_src, o_dst, o_ovl])
     n_edges = jnp.sum(keep.astype(jnp.int32))
     return ReducedGraph(o_src, o_dst, o_ovl, n_edges, total, overflow)
+
+
+# --------------------------------------------------------------------------
+# chunked reduction for expansion totals beyond device memory
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _reduce_prep(src, dst, ovl, n_vertices: int, fixed_len: int | None,
+                 lens=None):
+    """Adjacency views + per-edge expansion counts (E-sized, cheap)."""
+    E = src.shape[0]
+    V = n_vertices
+    is_edge = src != _I32_MAX
+    if fixed_len is not None:
+        src_len = fixed_len
+    else:
+        src_len = lens[jnp.clip(src, 0, V - 1)]
+    sl = jnp.where(is_edge, src_len - ovl, _I32_MAX)
+    ss_src, ss_sl, ss_dst = sort_by_keys([src, sl], [dst])
+    u = lambda x: x.astype(jnp.uint32)
+    start = lex_searchsorted(
+        u(ss_src), u(ss_sl), u(jnp.arange(V, dtype=jnp.int32)),
+        jnp.zeros(V, jnp.uint32), side="left",
+    )
+    seg = jnp.where(is_edge, src, V)
+    maxsl = jax.ops.segment_max(
+        jnp.where(is_edge, sl, -1), jnp.minimum(seg, V), num_segments=V + 1
+    )[:V]
+    maxsl = jnp.maximum(maxsl, -1)
+    w = jnp.where(is_edge, dst, 0)
+    bound = jnp.where(is_edge, maxsl[jnp.minimum(src, V - 1)] - sl, -1)
+    upto = lex_searchsorted(u(ss_src), u(ss_sl), u(w), u(bound), side="right")
+    counts = jnp.where(is_edge & (bound >= 0), upto - start[w], 0)
+    return ss_src, ss_sl, ss_dst, start, counts, sl
+
+
+def transitive_reduction_chunked(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    ovl: jnp.ndarray,
+    n_vertices: int,
+    read_len,
+    chunk_cap: int = 1 << 24,
+    max_chunk_doublings: int = 6,
+) -> ReducedGraph:
+    """Exact Myers reduction for dense graphs whose length-2-path
+    expansion exceeds device memory (e.g. 50x-coverage string graphs:
+    ~12 expansions/edge x tens of millions of edges).
+
+    The edge list is processed in fixed-width slices; each slice expands
+    against the GLOBAL adjacency (O(E) device residency) into at most
+    ``chunk_cap`` candidates, probes membership, and contributes its
+    removal marks, which accumulate on host. Semantics identical to
+    transitive_reduction (removal defined on the original edge set);
+    slices whose exact expansion total exceeds chunk_cap trigger a
+    host-level retry with twice as many slices.
+    """
+    E = src.shape[0]
+    V = n_vertices
+    if isinstance(read_len, int):
+        fixed, lens = read_len, None
+    else:
+        fixed, lens = None, jnp.asarray(read_len)
+    ss_src, ss_sl, ss_dst, start, counts, sl = _reduce_prep(
+        src, dst, ovl, V, fixed, lens
+    )
+    counts_np = np.asarray(counts)
+    total = int(counts_np.sum())
+    n_chunks = max(1, -(-total // chunk_cap))
+    for _ in range(max_chunk_doublings):
+        e_c = -(-E // n_chunks)
+        sums = [int(counts_np[i : i + e_c].sum())
+                for i in range(0, E, e_c)]
+        if max(sums) <= chunk_cap:
+            break
+        n_chunks *= 2
+    else:
+        raise ValueError(
+            f"cannot balance expansion {total} into chunks of {chunk_cap}"
+        )
+    e_c = -(-E // n_chunks)
+
+    if fixed is not None:
+        probe_len_all = None
+    else:
+        probe_len_all = lens[jnp.clip(src, 0, V - 1)]
+
+    removed_np = np.zeros(E, bool)
+    kernel = _chunk_kernel(E, e_c, chunk_cap, fixed)
+    for i in range(0, E, e_c):
+        c_slice = slice(i, i + e_c)
+        pad = e_c - (min(i + e_c, E) - i)
+        def padded(a, fill):
+            seg = a[c_slice]
+            if pad:
+                seg = jnp.concatenate(
+                    [seg, jnp.full((pad,), fill, seg.dtype)]
+                )
+            return seg
+        c_src = padded(src, _I32_MAX)
+        c_dst = padded(dst, 0)
+        c_sl = padded(sl, _I32_MAX)
+        c_counts = padded(counts, 0)
+        c_plen = (
+            jnp.zeros((), jnp.int32) if fixed is not None
+            else padded(probe_len_all, 0)
+        )
+        removed, tot = kernel(
+            c_src, c_dst, c_sl, c_counts, c_plen,
+            src, dst, ovl, ss_sl, ss_dst, start,
+        )
+        assert int(tot) <= chunk_cap
+        removed_np |= np.asarray(removed)
+
+    keep = (np.asarray(src) != 2**31 - 1) & ~removed_np
+    o_src = np.where(keep, np.asarray(src), 2**31 - 1).astype(np.int32)
+    o_dst = np.where(keep, np.asarray(dst), 2**31 - 1).astype(np.int32)
+    o_ovl = np.where(keep, np.asarray(ovl), 0).astype(np.int32)
+    order = np.lexsort((o_dst, o_src))
+    n_edges = int(keep.sum())
+    return ReducedGraph(
+        jnp.asarray(o_src[order]), jnp.asarray(o_dst[order]),
+        jnp.asarray(o_ovl[order]), jnp.asarray(n_edges),
+        jnp.asarray(total), jnp.asarray(False),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len):
+    @jax.jit
+    def run(c_src, c_dst, c_sl, c_counts, c_plen,
+            src, dst, ovl, ss_sl, ss_dst, start):
+        V = start.shape[0]
+        u = lambda x: x.astype(jnp.uint32)
+        total = jnp.sum(c_counts)
+        e1, rank, valid = expand_by_counts(c_counts, cand_cap)
+        e2 = jnp.minimum(
+            start[jnp.clip(c_dst[e1], 0, V - 1)] + rank, E - 1
+        )
+        v = c_src[e1]
+        x = ss_dst[e2]
+        sls = c_sl[e1] + ss_sl[e2]
+        valid = valid & (x != v)
+        pos = lex_searchsorted(u(src), u(dst), u(v), u(x), side="left")
+        pos_c = jnp.minimum(pos, E - 1)
+        plen = fixed_len if fixed_len is not None else c_plen[e1]
+        hit = valid & (src[pos_c] == v) & (dst[pos_c] == x) & (
+            plen - ovl[pos_c] == sls
+        )
+        removed = (
+            jnp.zeros(E, bool)
+            .at[jnp.where(hit, pos_c, E)]
+            .set(True, mode="drop")
+        )
+        return removed, total
+
+    return run

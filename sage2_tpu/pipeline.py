@@ -434,6 +434,22 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     break
                 red_exp = int(r_exp)
             else:
+                if cap > (1 << 25):
+                    # expansion beyond device memory: exact chunked pass
+                    from sage2_tpu.graph.reduce import (
+                        transitive_reduction_chunked,
+                    )
+
+                    with log.timed("reduce", capacity=cap, chunked=True):
+                        red = transitive_reduction_chunked(
+                            jnp.asarray(edges[0]), jnp.asarray(edges[1]),
+                            jnp.asarray(edges[2]), V, vlen_arg,
+                            chunk_cap=1 << 23,
+                        )
+                    red_edges = (np.asarray(red.src), np.asarray(red.dst),
+                                 np.asarray(red.ovl))
+                    red_n, red_exp = int(red.n_edges), int(red.n_expansions)
+                    break
                 with log.timed("reduce", capacity=cap):
                     red = transitive_reduction(
                         jnp.asarray(edges[0]), jnp.asarray(edges[1]),

@@ -89,3 +89,30 @@ def test_unitig_cycle_breaking():
     np.testing.assert_array_equal(head, [0, 0, 0, 0])
     np.testing.assert_array_equal(dist, [0, 1, 2, 3])
     assert nxt[3] == -1  # broken at min vertex: edge 3->0 dissolved
+
+
+def test_chunked_reduction_matches_incore():
+    """transitive_reduction_chunked (beyond-device-memory path) is
+    bit-identical to the in-core pass."""
+    from sage2_tpu.graph.reduce import (
+        transitive_reduction,
+        transitive_reduction_chunked,
+    )
+
+    genome = simulate_genome(2000, seed=9)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=15,
+                              error_rate=0.0, seed=10)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    res = find_overlaps(rs.reads2, rs.valid2, 30, capacity=1 << 16)
+    V, L = rs.reads2.shape
+    a = transitive_reduction(res.src, res.dst, res.ovl, V, L,
+                             capacity=1 << 18)
+    assert not bool(a.overflow)
+    b = transitive_reduction_chunked(res.src, res.dst, res.ovl, V, L,
+                                     chunk_cap=1 << 12)
+    assert int(a.n_edges) == int(b.n_edges)
+    assert int(a.n_expansions) == int(b.n_expansions)
+    n = int(a.n_edges)
+    np.testing.assert_array_equal(np.asarray(a.src)[:n], np.asarray(b.src)[:n])
+    np.testing.assert_array_equal(np.asarray(a.dst)[:n], np.asarray(b.dst)[:n])
+    np.testing.assert_array_equal(np.asarray(a.ovl)[:n], np.asarray(b.ovl)[:n])
