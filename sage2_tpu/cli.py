@@ -49,7 +49,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         " memory; bit-identical to in-core)")
     p.add_argument("--paired", action="store_true",
                    help="treat input files as (R1, R2) pairs; mate"
-                        " pairing survives dedup into the edges artifact")
+                        " pairing survives dedup into the edges artifact"
+                        " and drives contig scaffolding")
+    p.add_argument("--no-scaffold", action="store_true",
+                   help="keep mate pairs but skip scaffolding")
+    p.add_argument("--min-mate-links", type=int, default=3,
+                   help="supporting pairs required to accept a scaffold"
+                        " join")
+    p.add_argument("--insert-size", type=int, default=None,
+                   help="outer mate-pair insert size; default: estimated"
+                        " from same-contig proper pairs")
 
 
 def _config(args) -> "AssemblyConfig":
@@ -66,6 +75,9 @@ def _config(args) -> "AssemblyConfig":
         reduce_capacity=args.reduce_capacity,
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else None,
         max_device_reads=getattr(args, "max_device_reads", None),
+        scaffold=not getattr(args, "no_scaffold", False),
+        min_mate_links=getattr(args, "min_mate_links", 3),
+        insert_size=getattr(args, "insert_size", None),
     )
 
 
@@ -120,6 +132,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--error-rate", type=float, default=0.005)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--circular", action="store_true")
+    p.add_argument("--paired", action="store_true",
+                   help="write an (R1, R2) FASTQ pair (derives the R2"
+                        " path from the output path)")
+    p.add_argument("--insert-size", type=int, default=400)
+    p.add_argument("--insert-sd", type=int, default=30)
 
     p = sub.add_parser("stats", help="assembly stats of a FASTA")
     p.add_argument("fasta")
@@ -132,17 +149,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         from sage2_tpu.io.writer import write_fasta
 
         genome = simulate_genome(args.genome_len, seed=args.seed)
-        reads, _ = simulate_reads(
-            genome, read_len=args.read_len, coverage=args.coverage,
-            error_rate=args.error_rate, seed=args.seed + 1,
-            circular=args.circular,
-        )
-        write_fastq(args.output, reads)
+        if args.paired:
+            from sage2_tpu.data import simulate_read_pairs
+
+            reads, _mate_of, _ = simulate_read_pairs(
+                genome, read_len=args.read_len, coverage=args.coverage,
+                insert_mean=args.insert_size, insert_sd=args.insert_sd,
+                error_rate=args.error_rate, seed=args.seed + 1,
+            )
+            n = reads.shape[0] // 2
+            r2_path = _mate_path(args.output)
+            write_fastq(args.output, reads[:n], name_prefix="sim/1")
+            write_fastq(r2_path, reads[n:], name_prefix="sim/2")
+            print(f"wrote {n} read pairs x {args.read_len} bp to "
+                  f"{args.output} + {r2_path}", file=sys.stderr)
+        else:
+            reads, _ = simulate_reads(
+                genome, read_len=args.read_len, coverage=args.coverage,
+                error_rate=args.error_rate, seed=args.seed + 1,
+                circular=args.circular,
+            )
+            write_fastq(args.output, reads)
+            print(f"wrote {reads.shape[0]} reads x {args.read_len} bp "
+                  f"to {args.output}", file=sys.stderr)
         if args.genome_out:
             write_fasta(args.genome_out, [genome.astype(np.int8)],
                         prefix="genome")
-        print(f"wrote {reads.shape[0]} reads x {args.read_len} bp "
-              f"to {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "stats":
@@ -252,6 +284,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     return 1
+
+
+def _mate_path(r1_path: str) -> str:
+    """Derive an R2 path from an R1 path: swap an 'R1'/'_1' token, or
+    insert '_R2' before the extensions."""
+    for a, b in (("R1", "R2"), ("_1.", "_2.")):
+        if a in r1_path:
+            return r1_path.replace(a, b, 1)
+    stem, dot, rest = r1_path.partition(".")
+    return f"{stem}_R2{dot}{rest}" if dot else f"{r1_path}_R2"
 
 
 def _read_fasta_ragged(path: str) -> List[np.ndarray]:

@@ -47,6 +47,13 @@ class AssemblyConfig:
     flow_max_component: int = 2000  # condensed-graph components larger than
                                     # this fall back to the greedy walk
 
+    # --- scaffolding (paired-end; BASELINE.json config #1 "paired") ---
+    scaffold: bool = True           # use mate pairs to scaffold contigs
+                                    # when pairing info is present
+    min_mate_links: int = 3         # supporting pairs to accept a join
+    insert_size: Optional[int] = None  # outer insert; None => estimate
+                                    # from same-contig proper pairs
+
     # --- capacities (static shapes; SURVEY.md §7 "Hard parts") ---
     candidate_capacity: int = 1 << 20   # max overlap candidates per batch
     reduce_capacity: int = 1 << 20      # max length-2 path expansions per pass

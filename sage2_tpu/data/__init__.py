@@ -1,5 +1,15 @@
 """Synthetic dataset generation (no network: datasets are simulated)."""
 
-from sage2_tpu.data.simulate import simulate_genome, simulate_reads, write_fastq
+from sage2_tpu.data.simulate import (
+    simulate_genome,
+    simulate_read_pairs,
+    simulate_reads,
+    write_fastq,
+)
 
-__all__ = ["simulate_genome", "simulate_reads", "write_fastq"]
+__all__ = [
+    "simulate_genome",
+    "simulate_read_pairs",
+    "simulate_reads",
+    "write_fastq",
+]

@@ -78,6 +78,73 @@ def simulate_reads(
     return reads, starts.astype(np.int64)
 
 
+def simulate_read_pairs(
+    genome: np.ndarray,
+    read_len: int = 100,
+    coverage: float = 30.0,
+    insert_mean: int = 400,
+    insert_sd: int = 30,
+    error_rate: float = 0.0,
+    seed: int = 1,
+    both_strands: bool = True,
+    exclude: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Paired-end (FR) Illumina-like reads (BASELINE.json config #1:
+    "Illumina 100bp paired").
+
+    Fragments of ~``insert_mean`` bases are sampled uniformly; each yields
+    R1 = the fragment's left ``read_len`` bases read forward and R2 = the
+    reverse complement of its right ``read_len`` bases — both mates'
+    stored orientations point INTO the fragment. ``both_strands`` flips
+    whole fragments (swapping which mate is leftmost on the forward
+    genome). ``exclude``: an (start, end) genome window; fragments whose
+    READS overlap it are dropped (reads spanning it only via the insert
+    gap survive) — used to manufacture a coverage gap that breaks
+    assembly into two contigs joinable only by mate pairs.
+
+    Returns (reads (2N, read_len) int8, mate_of (2N,) int64, frag_starts
+    (N,) int64): mate rows are i and i + N, mate_of matches
+    io.load_read_pairs' convention.
+    """
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    n_pairs = int(np.ceil(coverage * G / (2 * read_len)))
+    inserts = np.clip(
+        np.rint(rng.normal(insert_mean, insert_sd, n_pairs)).astype(np.int64),
+        2 * read_len, None,
+    )
+    span = G - inserts
+    if np.any(span < 1):
+        raise ValueError("genome shorter than insert size")
+    starts = (rng.random(n_pairs) * span).astype(np.int64)
+    if exclude is not None:
+        lo, hi = exclude
+        r1_bad = (starts < hi) & (starts + read_len > lo)
+        r2_lo = starts + inserts - read_len
+        r2_bad = (r2_lo < hi) & (r2_lo + read_len > lo)
+        keep = ~(r1_bad | r2_bad)
+        starts, inserts = starts[keep], inserts[keep]
+        n_pairs = len(starts)
+    idx = np.arange(read_len)[None, :]
+    r1 = genome[starts[:, None] + idx].astype(np.int8)
+    r2_fwd = genome[(starts + inserts - read_len)[:, None] + idx]
+    r2 = (3 - r2_fwd)[:, ::-1].astype(np.int8)
+    if both_strands:
+        flip = rng.random(n_pairs) < 0.5
+        r1f, r2f = r1[flip].copy(), r2[flip].copy()
+        # flipping the fragment strand swaps the mates' roles
+        r1[flip], r2[flip] = r2f, r1f
+    reads = np.concatenate([r1, r2], axis=0)
+    if error_rate > 0:
+        err = rng.random(reads.shape) < error_rate
+        shift = rng.integers(1, 4, size=reads.shape)
+        reads = np.where(err, (reads + shift) % 4, reads).astype(np.int8)
+    mate_of = np.concatenate([
+        np.arange(n_pairs, 2 * n_pairs), np.arange(n_pairs)
+    ]).astype(np.int64)
+    return reads, mate_of, starts
+
+
 def write_fastq(
     path: str, reads: np.ndarray, quality: int = 40, name_prefix: str = "sim"
 ) -> None:

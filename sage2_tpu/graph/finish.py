@@ -471,14 +471,35 @@ def emit_contigs(
     ``lengths``: per-vertex read lengths for ragged inputs (slices stop
     at each read's own end instead of the padded row width).
     """
+    return emit_contigs_with_placements(g, paths, reads2, config, lengths)[0]
+
+
+def emit_contigs_with_placements(
+    g: UnitigGraph,
+    paths: List[List[int]],
+    reads2: np.ndarray,
+    config: AssemblyConfig,
+    lengths: Optional[np.ndarray] = None,
+) -> Tuple[List[np.ndarray], Dict[int, Tuple[int, int, int]]]:
+    """emit_contigs plus per-vertex placements for mate-pair scaffolding.
+
+    Returns (contigs, placements): placements maps a read-vertex to
+    (contig_id, start, dir) — contig[start : start + rlen[v]] equals
+    reads2[v] when dir=+1 and its reverse complement when dir=-1. Only
+    UNIQUELY placed vertices appear (a vertex emitted at two positions —
+    a repeat unitig traversed twice by the min-cost flow — is an
+    unreliable anchor and is dropped; graph.scaffold consumes this map).
+    """
     L = reads2.shape[1]
     if lengths is None:
         rlen = np.full(reads2.shape[0], L, np.int64)
     else:
         rlen = np.asarray(lengths, np.int64)
-    contigs = []
+    emitted = []  # (canonical seq, [(vertex, start, dir)])
     for path in paths:
         pieces = []
+        placed: List[Tuple[int, int]] = []  # (vertex, start in fwd seq)
+        pos = 0
         prev_tail = None
         for uid in path:
             u = g.unitigs[uid]
@@ -488,23 +509,43 @@ def emit_contigs(
                 join = path_ovl(g, prev_tail, uid)
                 ovls = [join] + ovls
             else:
-                pieces.append(reads2[verts[0]][: rlen[verts[0]]])
+                v0 = verts[0]
+                pieces.append(reads2[v0][: rlen[v0]])
+                placed.append((v0, 0))
+                pos = int(rlen[v0])
                 verts = verts[1:]
                 ovls = u.ovls
             for v, o in zip(verts, ovls):
                 pieces.append(reads2[v][o : rlen[v]])
+                placed.append((v, pos - o))
+                pos += int(rlen[v]) - o
             prev_tail = uid
         seq = np.concatenate(pieces) if pieces else np.zeros(0, reads2.dtype)
         if len(seq) < config.min_contig_len:
             continue
         rc = (3 - seq)[::-1]
         if tuple(seq) <= tuple(rc):
-            contigs.append(seq)
+            emitted.append((seq, [(v, s, 1) for v, s in placed]))
         else:
-            contigs.append(rc)
+            n = len(seq)
+            emitted.append((
+                rc,
+                [(v, n - s - int(rlen[v]), -1) for v, s in placed],
+            ))
     # dedup identical canonical contigs (each double-stranded path pair)
-    uniq = {}
-    for c in contigs:
-        uniq.setdefault(c.tobytes(), c)
-    out = sorted(uniq.values(), key=lambda c: (-len(c), c.tobytes()))
-    return out
+    uniq: Dict[bytes, Tuple[np.ndarray, list]] = {}
+    for c, pl in emitted:
+        uniq.setdefault(c.tobytes(), (c, pl))
+    ordered = sorted(
+        uniq.values(), key=lambda cp: (-len(cp[0]), cp[0].tobytes())
+    )
+    placements: Dict[int, Tuple[int, int, int]] = {}
+    multi: Set[int] = set()
+    for cid, (_c, pl) in enumerate(ordered):
+        for v, s, d in pl:
+            if v in placements or v in multi:
+                placements.pop(v, None)
+                multi.add(v)
+            else:
+                placements[v] = (cid, int(s), d)
+    return [c for c, _pl in ordered], placements

@@ -26,7 +26,7 @@ _ASCII_TO_CODE = np.full(256, 0, dtype=np.uint8)   # unknown (incl. 'N') -> A
 for _ch, _code in (("A", 0), ("C", 1), ("G", 2), ("T", 3),
                    ("a", 0), ("c", 1), ("g", 2), ("t", 3)):
     _ASCII_TO_CODE[ord(_ch)] = _code
-_CODE_TO_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
+_CODE_TO_ASCII = np.frombuffer(b"ACGTN", dtype=np.uint8)  # 4 = scaffold gap
 
 
 def encode_ascii(seqs: np.ndarray) -> np.ndarray:

@@ -84,7 +84,11 @@ def assemble(
     device stages there (SURVEY.md §5 "Tracing / profiling").
     ``mate_of``: optional (N,) paired-end mate index per read (from
     io.load_read_pairs); pairing survives dedup as vertex pairs in the
-    edges artifact (mate_pairs) for downstream use.
+    edges artifact (mate_pairs) and — when config.scaffold is set —
+    drives mate-pair scaffolding (graph.scaffold): the returned
+    sequences are then SCAFFOLDS (gaps as code 4 / 'N'), with contigs
+    still written to contigs.fasta and scaffold stats merged into the
+    stats dict.
     ``lengths``: per-read lengths for ragged inputs (reads padded with
     zeros to the array width; length_policy="pad" at ingest). Ragged
     runs detect and remove CONTAINED reads (a read occurring inside a
@@ -135,6 +139,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     lengths=None):
     N, L = reads.shape
     start = STAGES.index(resume_from) if resume_from else 0
+    mate_pairs_np = None
 
     mesh = None
     if config.mesh_shape is not None:
@@ -250,8 +255,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     n_candidates=n_cand_i, n_unique_reads=n_uniq)
             extra = {}
             if mate_of is not None:
-                extra["mate_pairs"] = _mate_pairs(vread_np, mate_of)
-                log.log("mate_pairs", n_pairs=len(extra["mate_pairs"]))
+                mate_pairs_np = _mate_pairs(vread_np, mate_of)
+                extra["mate_pairs"] = mate_pairs_np
+                log.log("mate_pairs", n_pairs=len(mate_pairs_np))
             _save(outdir, "edges", src=edges[0], dst=edges[1],
                   ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
                   valid2=valid2_np, multiplicity=mult_np, **extra)
@@ -370,10 +376,11 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             if rs.lengths2 is not None:
                 extra["lengths2"] = np.asarray(rs.lengths2)
             if mate_of is not None:
-                extra["mate_pairs"] = _mate_pairs(
+                mate_pairs_np = _mate_pairs(
                     np.asarray(rs.vertex_of_read), mate_of
                 )
-                log.log("mate_pairs", n_pairs=len(extra["mate_pairs"]))
+                extra["mate_pairs"] = mate_pairs_np
+                log.log("mate_pairs", n_pairs=len(mate_pairs_np))
             _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
                   n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
                   multiplicity=mult_np, **extra)
@@ -387,6 +394,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         edges = (z["src"], z["dst"], z["ovl"])
         reads2_np, valid2_np, mult_np = z["reads2"], z["valid2"], z["multiplicity"]
         lengths2_np = z["lengths2"] if "lengths2" in z else None
+        mate_pairs_np = z["mate_pairs"] if "mate_pairs" in z else None
 
     V = reads2_np.shape[0]
     vlen_arg = L if lengths2_np is None else lengths2_np
@@ -559,17 +567,54 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             )
         else:
             paths = join_paths(g)
-        contigs = emit_contigs(
-            g, paths, reads2_np, config, lengths=lengths2_np,
+        do_scaffold = (
+            config.scaffold and mate_pairs_np is not None
+            and len(mate_pairs_np) > 0
         )
+        if do_scaffold:
+            from sage2_tpu.graph.finish import emit_contigs_with_placements
+            from sage2_tpu.graph.scaffold import scaffold_contigs
+
+            contigs, placements = emit_contigs_with_placements(
+                g, paths, reads2_np, config, lengths=lengths2_np,
+            )
+            rlen_arr = (
+                np.full(V, L, np.int64) if lengths2_np is None
+                else np.asarray(lengths2_np, np.int64)
+            )
+            scaffolds, sc_report = scaffold_contigs(
+                contigs, placements, mate_pairs_np, rlen_arr, V // 2,
+                min_links=config.min_mate_links,
+                insert_size=config.insert_size,
+            )
+        else:
+            contigs = emit_contigs(
+                g, paths, reads2_np, config, lengths=lengths2_np,
+            )
+            scaffolds = None
     stats = assembly_stats(contigs)
+    if scaffolds is not None:
+        sc_stats = assembly_stats(scaffolds)
+        stats.update({
+            "n_scaffolds": sc_stats["n_contigs"],
+            "scaffold_n50": sc_stats["n50"],
+            "scaffold_max": sc_stats["max_contig"],
+            "scaffold_joins": sc_report["n_joins"],
+            "insert_size": sc_report["insert_size"],
+        })
+        log.log("scaffold_result", **sc_report)
     log.log("finish_result", n_unitigs=n_unitigs_raw, tips_removed=n_tips,
             single_copy_coverage=round(c1, 2),
             branches_pruned=n_pruned, bubbles_popped=n_bub, **stats)
     if outdir:
         from sage2_tpu.io.writer import write_fasta
         write_fasta(os.path.join(outdir, "contigs.fasta"), contigs)
+        if scaffolds is not None:
+            write_fasta(
+                os.path.join(outdir, "scaffolds.fasta"), scaffolds,
+                prefix="scaffold",
+            )
         with open(os.path.join(outdir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=1)
         _manifest(outdir, config, "finish")
-    return contigs, stats
+    return (scaffolds if scaffolds is not None else contigs), stats
