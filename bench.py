@@ -84,19 +84,24 @@ def main() -> int:
         with tempfile.TemporaryDirectory() as d:
             raw = os.path.join(d, "reads.bin")
             reads.astype(np.int8).tofile(raw)
-            r = subprocess.run(
-                [bb, "overlap", raw, str(n_reads), str(read_len),
-                 str(min_ovl)],
-                capture_output=True, text=True, timeout=3600,
-            )
-        if r.returncode == 0:
-            base_verified, base_secs = r.stdout.split()
-            base_verified, base_secs = int(base_verified), float(base_secs)
-            log(f"baseline (1 CPU thread): {base_secs:.3f}s, "
-                f"{n_reads/base_secs:.0f} reads/s, "
+            # best of `repeats` runs, symmetric with the device timing
+            # (host load varies the C++ time 30-40% run to run)
+            for _ in range(repeats):
+                r = subprocess.run(
+                    [bb, "overlap", raw, str(n_reads), str(read_len),
+                     str(min_ovl)],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                if r.returncode != 0:
+                    log("baseline failed:", r.stderr[:300])
+                    break
+                v, s = r.stdout.split()
+                base_verified = int(v)
+                base_secs = min(base_secs or 1e30, float(s))
+        if base_secs is not None:
+            log(f"baseline (1 CPU thread): {base_secs:.3f}s best of "
+                f"{repeats}, {n_reads/base_secs:.0f} reads/s, "
                 f"{base_verified} verified overlaps")
-        else:
-            log("baseline failed:", r.stderr[:300])
     else:
         log("baseline binary unavailable")
 

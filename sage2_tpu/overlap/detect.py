@@ -209,6 +209,139 @@ def seed_keys_at_positions(
     return hi, lo
 
 
+def word_at_positions(
+    words0: jnp.ndarray, positions: Sequence[int], L: int
+) -> list:
+    """The uint32 word covering bases [p, p+16) for each static p, from
+    the UNSHIFTED packing (words0 = pack_read_words(reads), (..., W)).
+
+    (w0[p//16] << 2r) | (w0[p//16+1] >> (32-2r)) with r = p % 16 — two
+    elementwise ops per word instead of materializing all 16 shifted
+    packs (16x the read bytes; the larger-than-HBM streamed path OOMed
+    on that at 2M-read chunks). Words past the read end are zero-padded,
+    matching shifted_word_packs.
+    """
+    W = words0.shape[-1]
+    out = []
+    for p in positions:
+        r, w = p % 16, p // 16
+        if w >= W:
+            out.append(jnp.zeros(words0.shape[:-1], words0.dtype))
+            continue
+        cur = words0[..., w]
+        if r == 0:
+            out.append(cur)
+            continue
+        nxt = (
+            words0[..., w + 1] if w + 1 < W
+            else jnp.zeros_like(cur)
+        )
+        sh = jnp.uint32(2 * r)
+        out.append((cur << sh) | (nxt >> jnp.uint32(32 - 2 * r)))
+    return out
+
+
+def seed_keys_from_words0(
+    words0: jnp.ndarray, s: int, positions: Sequence[int], L: int
+):
+    """seed_keys_at_positions computed from the unshifted word packing
+    (same keys, no 16-shift precompute). Returns (hi, lo) of shape
+    (..., len(positions))."""
+    for p in positions:
+        if p + s > L:
+            raise ValueError(
+                f"seed position {p} + seed length {s} exceeds read "
+                f"length {L}"
+            )
+    hi = jnp.stack(word_at_positions(words0, positions, L), axis=-1)
+    if s < 16:
+        hi = hi & jnp.uint32((0xFFFFFFFF << (32 - 2 * s)) & 0xFFFFFFFF)
+    if s > 16:
+        lo = jnp.stack(
+            word_at_positions(words0, [p + 16 for p in positions], L),
+            axis=-1,
+        )
+        if s < 32:
+            lo = lo & jnp.uint32(
+                (0xFFFFFFFF << (32 - 2 * (s - 16))) & 0xFFFFFFFF
+            )
+    else:
+        lo = jnp.zeros_like(hi)
+    return hi, lo
+
+
+def verify_candidates_words0(
+    words0_a: jnp.ndarray,
+    cand_a: jnp.ndarray,
+    cand_p: jnp.ndarray,
+    b_words: jnp.ndarray,
+    L: int,
+    max_p: int | None = None,
+    chunk: int = 1 << 20,
+) -> jnp.ndarray:
+    """Exact-extension check from the UNSHIFTED A-side packing.
+
+    Semantics identical to verify_candidates with pre-gathered b_words:
+    reads_a[a][p:] == reads_b[:L-p] — one row gather per candidate
+    (words0_a[a]), then the word-level offset p//16 is applied via a
+    static select loop and the sub-word offset p%16 via per-candidate
+    variable bit-shifts, all in registers. Memory: W words per A row
+    instead of 16W (shifted packs) — this is what lets the streamed path
+    run 1M+-read chunks within HBM.
+    """
+    M, W = words0_a.shape
+    max_w0 = (max_p if max_p is not None else L - 1) >> 4
+    t16 = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    def body(xs):
+        a, p, bw = xs
+        aw = words0_a[jnp.clip(a, 0, M - 1)]          # (c, W) row gather
+        w0 = p >> 4
+        a_shift = aw
+        for k in range(1, max_w0 + 1):
+            rolled = jnp.concatenate(
+                [aw[:, k:], jnp.zeros((aw.shape[0], k), aw.dtype)], axis=1
+            )
+            a_shift = jnp.where(w0[:, None] == k, rolled, a_shift)
+        # sub-word shift by 2*(p%16): bring base p to the word top
+        r2 = (2 * (p & 15)).astype(jnp.uint32)[:, None]
+        nxt = jnp.concatenate(
+            [a_shift[:, 1:], jnp.zeros((a_shift.shape[0], 1),
+                                       a_shift.dtype)], axis=1
+        )
+        a_al = jnp.where(
+            r2 == 0, a_shift,
+            (a_shift << r2) | (nxt >> (jnp.uint32(32) - r2)),
+        )
+        diff = a_al ^ bw
+        ovl = L - p
+        vb = jnp.clip(ovl[:, None] * 2 - 32 * t16, 0, 32)
+        shift = jnp.clip(32 - vb, 0, 31).astype(jnp.uint32)
+        ok_word = jnp.where(
+            vb == 0,
+            True,
+            jnp.where(vb == 32, diff == 0, (diff >> shift) == 0),
+        )
+        return jnp.all(ok_word, axis=1)
+
+    C = cand_a.shape[0]
+    if C <= chunk:
+        return body((cand_a, cand_p, b_words))
+    n_chunks = -(-C // chunk)
+    pad = n_chunks * chunk - C
+
+    def pad_to(x, fill):
+        if not pad:
+            return x
+        fill_block = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, fill_block])
+
+    ca = pad_to(cand_a, 0).reshape(n_chunks, chunk)
+    cp = pad_to(cand_p, L - 1).reshape(n_chunks, chunk)
+    bw = pad_to(b_words, 0).reshape(n_chunks, chunk, W)
+    return jax.lax.map(body, (ca, cp, bw)).reshape(-1)[:C]
+
+
 def _prefix_join_parts(
     p_hi: jnp.ndarray, p_lo: jnp.ndarray, p_valid: jnp.ndarray,
     a_hi: jnp.ndarray, a_lo: jnp.ndarray, a_row_valid: jnp.ndarray,

@@ -94,9 +94,10 @@ def find_overlaps_chunked(
     Device residency is bounded by: the global seed table (g entries/read,
     12 B each), the first-shift word packs (words0, W uint32/read, needed
     for B-side verification), the bucket start table, and ONE read chunk's
-    full shifted packs + candidates. The per-read 16-shift packs — the
-    largest in-core array — and probe/expand temporaries exist only per
-    chunk.
+    unshifted word packs + candidates. Seed keys and A-side verification
+    words are computed from the unshifted packing with register shifts
+    (detect.seed_keys_from_words0 / verify_candidates_words0): the
+    16-shift packs of a 2M-read chunk alone were 3.6 GB and OOMed HBM.
 
     Exactness: every candidate (a, b) arises from a's probes, which all
     live in a's chunk, so the longest-per-pair reduction is complete per
@@ -129,10 +130,10 @@ def find_overlaps_chunked(
     for i in range(0, M, chunk_reads):
         chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
         cvalid = jnp.asarray(valid2[i : i + chunk_reads])
-        shifted = detect.shifted_word_packs(chunk)
-        words0_parts.append(shifted[:, 0, :])
-        b_hi, _b_lo = detect.seed_keys_at_positions(
-            shifted, s, list(range(g)), L
+        words0c = bitpack.pack_read_words(chunk)
+        words0_parts.append(words0c)
+        b_hi, _b_lo = detect.seed_keys_from_words0(
+            words0c, s, list(range(g)), L
         )
         ev = jnp.repeat(cvalid, g) if g > 1 else cvalid
         hi = jnp.where(ev, b_hi.reshape(-1), jnp.uint32(0xFFFFFFFF))
@@ -169,9 +170,9 @@ def find_overlaps_chunked(
         chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
         cvalid = jnp.asarray(valid2[i : i + chunk_reads])
         mc = chunk.shape[0]
-        shifted = detect.shifted_word_packs(chunk)
-        a_hi, a_lo = detect.seed_keys_at_positions(
-            shifted, s, [g * (j + 1) for j in range(n_pos)], L
+        words0c = bitpack.pack_read_words(chunk)
+        a_hi, _a_lo = detect.seed_keys_from_words0(
+            words0c, s, [g * (j + 1) for j in range(n_pos)], L
         )
         lo_idx, counts = detect.probe_seed_table(st, a_hi, cvalid)
         n_cand = int(jnp.sum(counts))
@@ -190,10 +191,8 @@ def find_overlaps_chunked(
         cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
         cand_p0 = jnp.clip(cand_p0, 1, pa)
 
-        ok = detect.verify_candidates(
-            chunk, cand_a - i, cand_p0, cand_b,
-            shifted=shifted, words0=words0, max_p=pa,
-            b_words=row[:, 1:],
+        ok = detect.verify_candidates_words0(
+            words0c, cand_a - i, cand_p0, row[:, 1:], L, max_p=pa,
         ) & cand_valid
 
         ovl = L - cand_p0
@@ -206,7 +205,7 @@ def find_overlaps_chunked(
             np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
             np.asarray(k_ovl[:n_keep]),
         ))
-        del shifted, chunk
+        del words0c, chunk
 
     # chunks are processed in ascending a-range, so per-chunk sorted edge
     # lists concatenate into a globally (src, dst)-sorted list

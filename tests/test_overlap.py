@@ -186,3 +186,57 @@ def test_ragged_overlaps_match_oracle(seed):
     assert got_edges == expect_edges
     assert got_cont == expect_cont
     assert len(expect_cont) >= 4  # the planted containments + mirrors
+
+
+def test_words0_seed_keys_and_verify_match_shifted(rng):
+    """The unshifted-packing primitives (seed_keys_from_words0,
+    verify_candidates_words0 — used by the streamed path to avoid the
+    16x shifted-pack blowup) are bit-identical to the shifted-pack
+    originals, including on planted true overlaps."""
+    import jax.numpy as jnp
+
+    from sage2_tpu.ops import bitpack
+    from sage2_tpu.overlap import detect
+
+    M, L = 300, 100
+    reads = rng.integers(0, 4, size=(M, L), dtype=np.int32)
+    planted = []
+    for _ in range(80):
+        a, b = rng.integers(0, M, 2)
+        if a == b:
+            continue
+        l = int(rng.integers(40, L))
+        reads[b, :l] = reads[a, L - l:]
+        planted.append((int(a), L - l, int(b)))
+    r = jnp.asarray(reads)
+    shifted = bitpack.shifted_word_packs(r)
+    words0 = bitpack.pack_read_words(r)
+
+    for s in (32, 24, 16, 12):
+        positions = [0, 1, 7, 8, 15, 16, 17, 31, 40, L - s]
+        h1, l1 = detect.seed_keys_at_positions(shifted, s, positions, L)
+        h2, l2 = detect.seed_keys_from_words0(words0, s, positions, L)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    C = 5000
+    ca = rng.integers(0, M, C).astype(np.int32)
+    cb = rng.integers(0, M, C).astype(np.int32)
+    cp = rng.integers(1, L - 1, C).astype(np.int32)
+    for i, (a, p, b) in enumerate(planted[: C // 2]):
+        ca[i], cp[i], cb[i] = a, p, b
+    bw = np.asarray(words0)[cb]
+    ok_ref = detect.verify_candidates(
+        r, jnp.asarray(ca), jnp.asarray(cp), jnp.asarray(cb),
+        shifted=shifted, words0=words0, b_words=jnp.asarray(bw),
+    )
+    ok_new = detect.verify_candidates_words0(
+        words0, jnp.asarray(ca), jnp.asarray(cp), jnp.asarray(bw), L,
+    )
+    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_new))
+    assert int(np.asarray(ok_new)[: len(planted[: C // 2])].sum()) >= 1
+    ok_chunked = detect.verify_candidates_words0(
+        words0, jnp.asarray(ca), jnp.asarray(cp), jnp.asarray(bw), L,
+        chunk=1024,
+    )
+    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_chunked))

@@ -237,6 +237,28 @@ def test_e2e_gap_scaffold():
         assert 1 <= n_gap <= 400
 
 
+@pytest.mark.slow
+def test_scaffold_survives_resume(tmp_path):
+    """mate_pairs ride the edges artifact: resume_from='finish'
+    reproduces the scaffolds byte for byte."""
+    from sage2_tpu.pipeline import assemble
+
+    genome = simulate_genome(5000, seed=15)
+    lo, hi = 2400, 2550
+    reads, mate_of, _ = simulate_read_pairs(
+        genome, read_len=100, coverage=30, insert_mean=400, insert_sd=20,
+        error_rate=0.0, seed=16, exclude=(lo, hi),
+    )
+    cfg = AssemblyConfig(k=17, min_overlap=40, min_contig_len=300)
+    out = str(tmp_path / "run")
+    seqs, stats = assemble(reads, cfg, mate_of=mate_of, outdir=out)
+    seqs2, stats2 = assemble(reads, cfg, outdir=out, resume_from="finish")
+    assert stats == stats2
+    assert len(seqs) == len(seqs2)
+    for a, b in zip(seqs, seqs2):
+        assert np.array_equal(a, b)
+
+
 def test_scaffold_disabled_returns_contigs():
     from sage2_tpu.pipeline import assemble
 
