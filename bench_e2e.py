@@ -10,7 +10,9 @@ fraction) and peak host RSS on stderr.
 
 Env knobs: SAGE2_E2E_GENOME (4600000), SAGE2_E2E_COVERAGE (50),
 SAGE2_E2E_READLEN (100), SAGE2_E2E_ERR (0.005),
-SAGE2_E2E_MAX_DEVICE_READS (0 = in-core).
+SAGE2_E2E_MAX_DEVICE_READS (0 = in-core), SAGE2_E2E_OUTDIR (save stage
+artifacts there for resumable reruns), SAGE2_E2E_RESUME (stage name to
+resume from; wall-clock then covers only the remaining stages).
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ def main() -> int:
     read_len = int(os.environ.get("SAGE2_E2E_READLEN", 100))
     err = float(os.environ.get("SAGE2_E2E_ERR", 0.005))
     max_dev = int(os.environ.get("SAGE2_E2E_MAX_DEVICE_READS", 0))
+    outdir = os.environ.get("SAGE2_E2E_OUTDIR") or None
+    resume = os.environ.get("SAGE2_E2E_RESUME") or None
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
@@ -81,7 +85,9 @@ def main() -> int:
             super().log(event, **fields)
 
     t0 = time.perf_counter()
-    contigs, stats = assemble(reads, cfg, metrics=_Spy(None))
+    contigs, stats = assemble(
+        reads, cfg, metrics=_Spy(None), outdir=outdir, resume_from=resume,
+    )
     wall = time.perf_counter() - t0
 
     # reference-recovery metric: aligned genome fraction (tolerates the

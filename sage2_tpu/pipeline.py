@@ -224,7 +224,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 reads2_np, valid2_np, mult_np, n_uniq, vread_np = (
                     prepare_reads_chunked(corrected_np, stream_chunk)
                 )
-            cap_chunk = max(1 << 16, 16 * stream_chunk)
+            # ~19 edges/vertex at 50x coverage -> up to ~32/read chunk
+            # candidates; starting at 64x avoids two doubling retries
+            # (each a full streamed pass) on dense real-scale graphs
+            cap_chunk = max(1 << 16, 64 * stream_chunk)
             while True:
                 with log.timed("overlap", streamed=True,
                                chunk_reads=stream_chunk):
@@ -442,8 +445,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     break
                 red_exp = int(r_exp)
             else:
-                if cap > (1 << 25):
-                    # expansion beyond device memory: exact chunked pass
+                if cap > (1 << 25) or edges[0].shape[0] > (1 << 25):
+                    # expansion (or the edge list itself) beyond device
+                    # comfort: exact chunked pass — in-core attempts at
+                    # this scale only waste doomed compiles/retries
                     from sage2_tpu.graph.reduce import (
                         transitive_reduction_chunked,
                     )
@@ -452,7 +457,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                         red = transitive_reduction_chunked(
                             jnp.asarray(edges[0]), jnp.asarray(edges[1]),
                             jnp.asarray(edges[2]), V, vlen_arg,
-                            chunk_cap=1 << 23,
+                            chunk_cap=1 << 24,
                         )
                     red_edges = (np.asarray(red.src), np.asarray(red.dst),
                                  np.asarray(red.ovl))
