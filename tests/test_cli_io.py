@@ -73,6 +73,7 @@ def test_cli_simulate_and_stats(tmp_path, capsys):
     assert out["total_bases"] == 1000
 
 
+@pytest.mark.slow
 def test_cli_assemble_end_to_end(tmp_path, capsys):
     fq = str(tmp_path / "r.fastq.gz")
     genome = simulate_genome(1500, seed=311)
@@ -91,6 +92,7 @@ def test_cli_assemble_end_to_end(tmp_path, capsys):
     assert os.path.exists(os.path.join(outdir, "contigs.fasta"))
 
 
+@pytest.mark.slow
 def test_cli_correct_and_overlap(tmp_path, capsys):
     fq = str(tmp_path / "r.fastq")
     genome = simulate_genome(800, seed=321)

@@ -103,6 +103,7 @@ def test_determinism():
     assert mincost_paths(g1, 10**6, LAM) == mincost_paths(g2, 10**6, LAM)
 
 
+@pytest.mark.slow
 def test_e2e_repeat_genome_mincost_beats_greedy():
     """Simulated genome with an exact interior repeat longer than the
     read length: min-cost flow reconstructs one contig spanning both

@@ -32,6 +32,7 @@ def _edges_dict(src, dst, ovl):
     }
 
 
+@pytest.mark.slow
 def test_transitive_reduction_matches_oracle():
     rs, res, L = _make_graph()
     V = rs.reads2.shape[0]
@@ -91,6 +92,7 @@ def test_unitig_cycle_breaking():
     assert nxt[3] == -1  # broken at min vertex: edge 3->0 dissolved
 
 
+@pytest.mark.slow
 def test_chunked_reduction_matches_incore():
     """transitive_reduction_chunked (beyond-device-memory path) is
     bit-identical to the in-core pass."""

@@ -51,6 +51,7 @@ def test_prepare_reads_dedup(rng):
 
 
 @pytest.mark.parametrize("min_overlap,err", [(20, 0.0), (25, 0.01)])
+@pytest.mark.slow
 def test_overlaps_match_oracle(min_overlap, err):
     genome = simulate_genome(500, seed=21)
     reads, _ = simulate_reads(
@@ -74,6 +75,7 @@ def test_overlaps_match_oracle(min_overlap, err):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_overlap_edges_symmetric_under_rc():
     genome = simulate_genome(400, seed=31)
     reads, _ = simulate_reads(genome, read_len=36, coverage=10, seed=32)
@@ -99,6 +101,7 @@ def test_overflow_flag():
 
 
 @pytest.mark.parametrize("stride", [1, 2, 3, 5, 8])
+@pytest.mark.slow
 def test_strided_probe_matches_oracle(stride):
     # min_overlap > seed_len leaves stride headroom (g <= min_ovl - s + 1)
     genome = simulate_genome(700, seed=41)
@@ -148,6 +151,7 @@ def _rc_list(read_list):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.slow
 def test_ragged_overlaps_match_oracle(seed):
     """Variable-length reads: dovetail edges AND containment marks match
     the ragged oracle (VERDICT round-1 item 6)."""

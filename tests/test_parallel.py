@@ -16,6 +16,8 @@ from sage2_tpu.parallel import (
     sharded_find_overlaps,
 )
 
+pytestmark = pytest.mark.slow  # multi-second e2e/chunked/sharded cases
+
 _I32_MAX = 2**31 - 1
 
 

@@ -10,6 +10,8 @@ from sage2_tpu.data import simulate_genome, simulate_reads
 from sage2_tpu.pipeline import assemble
 from sage2_tpu.utils.stats import assembly_stats
 
+pytestmark = pytest.mark.slow  # multi-second e2e/chunked/sharded cases
+
 
 CFG = AssemblyConfig(
     k=15, min_overlap=25, solid_threshold=2, min_contig_len=150,

@@ -9,6 +9,8 @@ from sage2_tpu import AssemblyConfig
 from sage2_tpu.data import simulate_genome, simulate_reads
 from sage2_tpu.pipeline import assemble
 
+pytestmark = pytest.mark.slow  # multi-second e2e/chunked/sharded cases
+
 CFG = AssemblyConfig(
     k=15, min_overlap=25, min_contig_len=150,
 )

@@ -9,6 +9,8 @@ from sage2_tpu.config import AssemblyConfig
 from sage2_tpu.data import simulate_genome
 from sage2_tpu.pipeline import assemble
 
+pytestmark = pytest.mark.slow  # multi-second e2e/chunked/sharded cases
+
 
 def _ragged_reads(genome, n, lo, hi, seed, contained_frac=0.1):
     rng = np.random.default_rng(seed)

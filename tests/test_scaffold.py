@@ -259,6 +259,7 @@ def test_scaffold_survives_resume(tmp_path):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_scaffold_disabled_returns_contigs():
     from sage2_tpu.pipeline import assemble
 

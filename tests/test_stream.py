@@ -8,6 +8,8 @@ from sage2_tpu.data import simulate_genome, simulate_reads
 from sage2_tpu.kmer import correct_reads, count_kmers
 from sage2_tpu.stream import correct_reads_chunked, count_kmers_chunked
 
+pytestmark = pytest.mark.slow  # multi-second e2e/chunked/sharded cases
+
 
 def _table_dict(t):
     n = int(t.n_unique)
