@@ -159,6 +159,52 @@ def _reduce_prep(src, dst, ovl, n_vertices: int, fixed_len: int | None,
     return ss_src, ss_sl, ss_dst, start, counts, sl
 
 
+def _reduce_prep_host(src, dst, ovl, n_vertices: int, read_len):
+    """_reduce_prep computed in numpy — identical outputs.
+
+    The 84.5M-edge (src, sl) device sort crashed the real-TPU worker at
+    E. coli scale (round-2 e2e run); host lexsort + searchsorted cost a
+    few seconds at this size and keep the per-chunk expansion/probe
+    kernels on device.
+    """
+    I32 = 2**31 - 1
+    src_np = np.asarray(src)
+    dst_np = np.asarray(dst)
+    ovl_np = np.asarray(ovl)
+    E = src_np.shape[0]
+    V = n_vertices
+    is_edge = src_np != I32
+    if isinstance(read_len, int):
+        src_len = read_len
+    else:
+        lens = np.asarray(read_len)
+        src_len = lens[np.clip(src_np, 0, V - 1)]
+    sl = np.where(is_edge, src_len - ovl_np, I32).astype(np.int64)
+    order = np.lexsort((sl, src_np))          # stable: by src, then sl
+    ss_src = src_np[order]
+    ss_sl = sl[order]
+    ss_dst = dst_np[order]
+    # 64-bit combined key for lexicographic searchsorted
+    key = (ss_src.astype(np.int64) << np.int64(32)) | ss_sl
+    start = np.searchsorted(
+        key, np.arange(V, dtype=np.int64) << np.int64(32), side="left"
+    ).astype(np.int32)
+    maxsl = np.full(V, -1, np.int64)
+    np.maximum.at(maxsl, src_np[is_edge], sl[is_edge])
+    w = np.where(is_edge, dst_np, 0)
+    bound = np.where(is_edge, maxsl[np.clip(src_np, 0, V - 1)] - sl, -1)
+    q = (w.astype(np.int64) << np.int64(32)) | np.maximum(bound, 0)
+    upto = np.searchsorted(key, q, side="right").astype(np.int64)
+    counts = np.where(
+        is_edge & (bound >= 0), upto - start[w], 0
+    ).astype(np.int32)
+    return (
+        jnp.asarray(ss_src), jnp.asarray(ss_sl.astype(np.int32)),
+        jnp.asarray(ss_dst), jnp.asarray(start), counts,
+        jnp.asarray(sl.astype(np.int32)),
+    )
+
+
 def transitive_reduction_chunked(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -167,6 +213,7 @@ def transitive_reduction_chunked(
     read_len,
     chunk_cap: int = 1 << 24,
     max_chunk_doublings: int = 6,
+    host_prep: bool | None = None,
 ) -> ReducedGraph:
     """Exact Myers reduction for dense graphs whose length-2-path
     expansion exceeds device memory (e.g. 50x-coverage string graphs:
@@ -178,7 +225,9 @@ def transitive_reduction_chunked(
     removal marks, which accumulate on host. Semantics identical to
     transitive_reduction (removal defined on the original edge set);
     slices whose exact expansion total exceeds chunk_cap trigger a
-    host-level retry with twice as many slices.
+    host-level retry with twice as many slices. ``host_prep`` (default:
+    when E > 2^25) computes the adjacency sort/counts in numpy — device
+    sorts at that operand size crashed the TPU worker.
     """
     E = src.shape[0]
     V = n_vertices
@@ -186,10 +235,18 @@ def transitive_reduction_chunked(
         fixed, lens = read_len, None
     else:
         fixed, lens = None, jnp.asarray(read_len)
-    ss_src, ss_sl, ss_dst, start, counts, sl = _reduce_prep(
-        src, dst, ovl, V, fixed, lens
-    )
-    counts_np = np.asarray(counts)
+    if host_prep is None:
+        host_prep = E > (1 << 25)
+    if host_prep:
+        ss_src, ss_sl, ss_dst, start, counts_np, sl = _reduce_prep_host(
+            src, dst, ovl, V, read_len
+        )
+        counts = jnp.asarray(counts_np)
+    else:
+        ss_src, ss_sl, ss_dst, start, counts, sl = _reduce_prep(
+            src, dst, ovl, V, fixed, lens
+        )
+        counts_np = np.asarray(counts)
     total = int(counts_np.sum())
     n_chunks = max(1, -(-total // chunk_cap))
     for _ in range(max_chunk_doublings):

@@ -93,9 +93,10 @@ def test_unitig_cycle_breaking():
 
 
 @pytest.mark.slow
-def test_chunked_reduction_matches_incore():
+@pytest.mark.parametrize("host_prep", [False, True])
+def test_chunked_reduction_matches_incore(host_prep):
     """transitive_reduction_chunked (beyond-device-memory path) is
-    bit-identical to the in-core pass."""
+    bit-identical to the in-core pass, with device or host prep."""
     from sage2_tpu.graph.reduce import (
         transitive_reduction,
         transitive_reduction_chunked,
@@ -111,7 +112,8 @@ def test_chunked_reduction_matches_incore():
                              capacity=1 << 18)
     assert not bool(a.overflow)
     b = transitive_reduction_chunked(res.src, res.dst, res.ovl, V, L,
-                                     chunk_cap=1 << 12)
+                                     chunk_cap=1 << 12,
+                                     host_prep=host_prep)
     assert int(a.n_edges) == int(b.n_edges)
     assert int(a.n_expansions) == int(b.n_expansions)
     n = int(a.n_edges)
