@@ -178,11 +178,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     if args.cmd == "stats":
-        from sage2_tpu.io import read_fasta
         from sage2_tpu.utils.stats import assembly_stats
 
-        contigs = [c for c in read_fasta(args.fasta, length_policy="filter")]
-        # read_fasta returns uniform-length arrays; re-read raw for stats
         contigs = _read_fasta_ragged(args.fasta)
         genome = None
         if args.genome:
@@ -287,13 +284,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 def _mate_path(r1_path: str) -> str:
-    """Derive an R2 path from an R1 path: swap an 'R1'/'_1' token, or
-    insert '_R2' before the extensions."""
+    """Derive an R2 path from an R1 path: swap an 'R1'/'_1' token in the
+    BASENAME only (directory names stay untouched), or insert '_R2'
+    before the final extension."""
+    import os.path
+
+    head, base = os.path.split(r1_path)
     for a, b in (("R1", "R2"), ("_1.", "_2.")):
-        if a in r1_path:
-            return r1_path.replace(a, b, 1)
-    stem, dot, rest = r1_path.partition(".")
-    return f"{stem}_R2{dot}{rest}" if dot else f"{r1_path}_R2"
+        if a in base:
+            return os.path.join(head, base.replace(a, b, 1))
+    stem, ext = os.path.splitext(base)
+    if ext == ".gz":  # keep compound extensions like .fastq.gz together
+        stem2, ext2 = os.path.splitext(stem)
+        stem, ext = stem2, ext2 + ext
+    return os.path.join(head, f"{stem}_R2{ext}")
 
 
 def _read_fasta_ragged(path: str) -> List[np.ndarray]:

@@ -60,7 +60,6 @@ class AssemblyConfig:
 
     # --- parallelism (SURVEY.md §2 parallelism table) ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single device
-    bucket_bits: int = 6            # k-mer bucket bits for the all-to-all merge
 
     # --- streaming (SURVEY.md §7 "Datasets larger than HBM") ---
     max_device_reads: Optional[int] = None  # cap on reads resident on the
@@ -69,9 +68,6 @@ class AssemblyConfig:
                                     # count/correct/dedup/overlap stream
                                     # in chunks of this many reads
                                     # (bit-identical to in-core).
-
-    # --- misc ---
-    read_len: Optional[int] = None  # fixed read length; None => infer from input
 
     def __post_init__(self) -> None:
         if not (1 < self.k <= 31):

@@ -93,8 +93,9 @@ def resolve_pair_placements(
 def estimate_insert_size(
     resolved, default: int = 400
 ) -> Tuple[int, int]:
-    """Median outer insert from same-contig proper pairs (one
-    outlier-trim pass at 3x the first median). Returns (insert,
+    """Median outer insert from same-contig proper pairs (one two-sided
+    outlier-trim pass at [median/3, 3*median] — chimeric pairs can be
+    shorter OR longer than the true insert). Returns (insert,
     n_proper)."""
     spans = []
     for (c1, s1, d1, l1), (c2, s2, d2, l2) in resolved:
@@ -109,7 +110,9 @@ def estimate_insert_size(
     if not spans:
         return default, 0
     med = float(np.median(spans))
-    kept = [s for s in spans if s <= 3 * med]
+    kept = [s for s in spans if med / 3 <= s <= 3 * med]
+    if not kept:
+        kept = spans
     return int(round(float(np.median(kept)))), len(kept)
 
 
@@ -198,10 +201,11 @@ def chain_scaffolds(
     scaffolds = []
     used = set()
     # chain starts: oriented contigs with a right-join but no left-join;
-    # prefer the +1 orientation start when both orientations are free
+    # key (c, -o) prefers the +1 orientation start when both are free
     starts = sorted(
-        (c, o) for (c, o) in right
-        if (c, o) not in has_left and c not in used
+        ((c, o) for (c, o) in right
+         if (c, o) not in has_left and c not in used),
+        key=lambda co: (co[0], -co[1]),
     )
     for c, o in starts:
         if c in used:

@@ -33,7 +33,11 @@ def encode_ascii(seqs: np.ndarray) -> np.ndarray:
     """ASCII byte array -> 2-bit codes (host side). 'N'/unknown map to A.
 
     The reference replaces ambiguous bases during ingest as well (RACER
-    paper; SURVEY.md §2 "FASTQ/FASTA reader" — N handling).
+    paper; SURVEY.md §2 "FASTQ/FASTA reader" — N handling). NOTE: this
+    makes the encoding lossy for scaffold FASTA (gap code 4 decodes to
+    'N' but 'N' re-encodes to A) — scaffolds.fasta is an OUTPUT format,
+    not re-ingestable as reads; feed contigs.fasta or the original reads
+    back in instead.
     """
     return _ASCII_TO_CODE[seqs]
 

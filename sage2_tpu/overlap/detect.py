@@ -29,6 +29,7 @@ true overlap >= min_overlap produces exactly one candidate.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -960,8 +961,13 @@ def find_overlaps_auto(
     problem shape, dispatch the kernel and return WITHOUT the host
     readback of ``n_candidates`` (a device->host scalar fetch costs a
     full relay round trip, ~22 ms on the bench chip, vs microseconds on
-    real hardware). The result still carries ``overflow``/
-    ``n_candidates`` as device scalars — the caller owns the check.
+    real hardware). CAUTION: the memo is keyed by problem SHAPE only —
+    a same-shape but denser input can overflow the memoized capacity and
+    silently truncate the edge set unless the caller checks
+    ``res.overflow`` (the result still carries ``overflow``/
+    ``n_candidates`` as device scalars; the caller owns the check).
+    Set SAGE2_VALIDATE_OVERFLOW=1 to assert it here (debug; pays the
+    readback).
     """
     M = reads2.shape[0]
     grain = 1 << 16
@@ -977,9 +983,15 @@ def find_overlaps_auto(
     if not validate and memo_cap is not None:
         fn = _jitted_find(min_overlap, seed_len, memo_cap, stride,
                           lengths is not None)
-        return fn(reads2, valid2, lengths) if lengths is not None else (
+        res = fn(reads2, valid2, lengths) if lengths is not None else (
             fn(reads2, valid2)
         )
+        if os.environ.get("SAGE2_VALIDATE_OVERFLOW"):
+            assert not bool(res.overflow), (
+                "find_overlaps_auto(validate=False): memoized capacity "
+                f"{memo_cap} overflowed on a denser same-shape input"
+            )
+        return res
     cap = memo_cap or round_up(16 * M)
     while True:
         fn = _jitted_find(min_overlap, seed_len, cap, stride,

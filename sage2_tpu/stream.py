@@ -57,9 +57,21 @@ def count_kmers_chunked(
     N = reads.shape[0]
     table: Optional[KmerTable] = None
     for i in range(0, N, chunk_reads):
-        chunk = jnp.asarray(reads[i : i + chunk_reads].astype(np.int32))
+        raw = reads[i : i + chunk_reads]
+        nc = raw.shape[0]
+        # pad the tail chunk to the common shape (one jit cache entry for
+        # all chunks); padded rows are masked out of the count
+        pad = chunk_reads - nc if N > chunk_reads else 0
+        if pad:
+            raw = np.concatenate([raw, np.repeat(raw[-1:], pad, axis=0)])
+        chunk = jnp.asarray(raw.astype(np.int32))
         hi, lo = bitpack.canonical_kmer_keys(chunk, k)
-        part = count_from_keys(hi.reshape(-1), lo.reshape(-1), k)
+        valid = None
+        if pad:
+            P = hi.shape[1]
+            valid = jnp.repeat(jnp.arange(chunk.shape[0]) < nc, P)
+        part = count_from_keys(hi.reshape(-1), lo.reshape(-1), k,
+                               valid=valid)
         part = _compact(part)
         table = part if table is None else _compact(
             _merge_tables([table, part], k)
@@ -300,9 +312,22 @@ def correct_reads_chunked(
     for _ in range(rounds):
         table = count_kmers_chunked(out, k, chunk_reads)
         for i in range(0, N, chunk_reads):
-            chunk = jnp.asarray(out[i : i + chunk_reads].astype(np.int32))
+            raw = out[i : i + chunk_reads]
+            nc = raw.shape[0]
+            # pad the tail chunk to the common shape — an uneven split
+            # would give the last chunk its own jit cache entry; each
+            # row's verdicts depend only on the global table and the row
+            # itself, so padded rows are independent and discarded
+            pad = chunk_reads - nc if N > chunk_reads else 0
+            if pad:
+                raw = np.concatenate(
+                    [raw, np.repeat(raw[-1:], pad, axis=0)]
+                )
+            chunk = jnp.asarray(raw.astype(np.int32))
             corrected = correct_reads(
                 chunk, k, threshold, rounds=1, table=table
             )
-            out[i : i + chunk_reads] = np.asarray(corrected, dtype=np.int8)
+            out[i : i + chunk_reads] = np.asarray(
+                corrected, dtype=np.int8
+            )[:nc]
     return out
