@@ -57,54 +57,81 @@ def build_unitig_graph(
         rlen = np.full(V, read_len, np.int64)
     else:
         rlen = np.asarray(read_len, np.int64)
+    head = np.asarray(head)
+    dist = np.asarray(dist)
+    ovl_next = np.asarray(ovl_next, np.int64)
+    valid2 = np.asarray(valid2)
+    multiplicity = np.asarray(multiplicity, np.int64)
     vids = np.nonzero(valid2)[0]
     order = np.lexsort((dist[vids], head[vids]))
     sv = vids[order]
+    n = len(sv)
     unitigs: Dict[int, Unitig] = {}
     uid_of_head: Dict[int, int] = {}
     uid_of_tail: Dict[int, int] = {}
     vert_uid = np.full(V, -1, np.int64)
-
-    i = 0
-    uid = 0
-    n = len(sv)
-    while i < n:
-        j = i
-        h = head[sv[i]]
-        while j < n and head[sv[j]] == h:
-            j += 1
-        chain = [int(v) for v in sv[i:j]]
-        ovls = [int(ovl_next[v]) for v in chain[:-1]]
-        length = int(rlen[chain[0]]) + sum(
-            int(rlen[v]) - o for v, o in zip(chain[1:], ovls)
-        )
-        mult = sum(int(multiplicity[v]) for v in chain)
-        bases = sum(int(multiplicity[v]) * int(rlen[v]) for v in chain)
-        unitigs[uid] = Unitig(
-            uid, chain, ovls, length, len(chain),
-            coverage=bases / max(length, 1),
-        )
-        uid_of_head[chain[0]] = uid
-        uid_of_tail[chain[-1]] = uid
-        for v in chain:
-            vert_uid[v] = uid
-        i = j
-        uid += 1
+    if n:
+        # group-by head over the (head, dist)-sorted vertex array: each
+        # run of equal heads is one unitig chain (vectorized — the
+        # per-vertex Python loop dominated finish wall-clock at scale)
+        sh = head[sv]
+        is_start = np.empty(n, bool)
+        is_start[0] = True
+        is_start[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(is_start)
+        counts = np.diff(np.append(starts, n))
+        n_uni = len(starts)
+        vert_uid[sv] = np.cumsum(is_start) - 1
+        is_last = np.empty(n, bool)
+        is_last[:-1] = is_start[1:]
+        is_last[-1] = True
+        rl = rlen[sv]
+        ovl_m = np.where(is_last, 0, ovl_next[sv])
+        lengths = np.add.reduceat(rl, starts) - np.add.reduceat(ovl_m, starts)
+        mult_sv = multiplicity[sv]
+        bases = np.add.reduceat(mult_sv * rl, starts)
+        heads_v = sv[starts]
+        tails_v = sv[starts + counts - 1]
+        sv_l = sv.tolist()
+        ovn_l = ovl_next[sv].tolist()
+        for uid in range(n_uni):
+            s = int(starts[uid])
+            e = s + int(counts[uid])
+            length = int(lengths[uid])
+            unitigs[uid] = Unitig(
+                uid, sv_l[s:e], ovn_l[s : e - 1], length, e - s,
+                coverage=int(bases[uid]) / max(length, 1),
+            )
+        uid_of_head = {int(v): u for u, v in enumerate(heads_v)}
+        uid_of_tail = {int(v): u for u, v in enumerate(tails_v)}
 
     out_edges: Dict[int, List[Tuple[int, int]]] = {u: [] for u in unitigs}
     in_edges: Dict[int, List[Tuple[int, int]]] = {u: [] for u in unitigs}
     src, dst, ovl = edges
-    for a, b, o in zip(src, dst, ovl):
-        a, b, o = int(a), int(b), int(o)
-        if a >= V or not valid2[a]:
-            continue
-        ua, ub = int(vert_uid[a]), int(vert_uid[b])
-        # chain edges are interior to a unitig: tail(a)->head(b) otherwise
-        if ua == ub and unitigs[ua].vertices[0] != b:
-            continue
-        if uid_of_tail.get(a) == ua and uid_of_head.get(b) == ub:
-            out_edges[ua].append((ub, o))
-            in_edges[ub].append((ua, o))
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    ovl = np.asarray(ovl)
+    # a kept edge joins tail(a) -> head(b) of two chains; chain-interior
+    # edges (a not its unitig's tail / b not a head) drop out. Same rule
+    # as the original per-edge loop: a edge survives iff a is the tail of
+    # its unitig AND b is the head of its unitig (a tail->head self-edge
+    # is a cycle edge and survives too).
+    if n:
+        is_tail_of = np.zeros(V, bool)
+        is_tail_of[tails_v] = True
+        is_head_of = np.zeros(V, bool)
+        is_head_of[heads_v] = True
+        m = (src >= 0) & (src < V) & (dst >= 0) & (dst < V)
+        m[m] = valid2[src[m]]
+        a_k = src[m]
+        b_k = dst[m]
+        o_k = ovl[m]
+        keep = is_tail_of[a_k] & is_head_of[b_k]
+        for a, b, o in zip(a_k[keep].tolist(), b_k[keep].tolist(),
+                           o_k[keep].tolist()):
+            ua, ub = int(vert_uid[a]), int(vert_uid[b])
+            out_edges[ua].append((ub, int(o)))
+            in_edges[ub].append((ua, int(o)))
     return UnitigGraph(unitigs, out_edges, in_edges, uid_of_head, uid_of_tail)
 
 

@@ -248,6 +248,10 @@ def transitive_reduction_chunked(
         )
         counts_np = np.asarray(counts)
     total = int(counts_np.sum())
+    # size the kernel to the problem: a tiny graph must not compile (and
+    # allocate) a full chunk_cap-wide expansion
+    grain = 1 << 14
+    chunk_cap = min(chunk_cap, max(grain, -(-total // grain) * grain))
     n_chunks = max(1, -(-total // chunk_cap))
     for _ in range(max_chunk_doublings):
         e_c = -(-E // n_chunks)

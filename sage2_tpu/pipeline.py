@@ -34,7 +34,6 @@ from sage2_tpu.graph.finish import (
     prune_zero_copy_branches,
     remove_tips,
 )
-from sage2_tpu.graph.reduce import transitive_reduction
 from sage2_tpu.graph.traverse import contract_unitigs
 from sage2_tpu.kmer import correct_reads, count_kmers
 from sage2_tpu.overlap import find_overlaps_auto, prepare_reads
@@ -404,10 +403,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
 
     # --- stage 4: transitive reduction (SURVEY.md §3.4) ----------------
     if start <= STAGES.index("reduce"):
-        cap = config.reduce_capacity
-        reqc = None
-        while True:
-            if mesh is not None:
+        if mesh is not None:
+            cap = config.reduce_capacity
+            reqc = None
+            while True:
                 from sage2_tpu.parallel import sharded_transitive_reduction
                 from sage2_tpu.parallel.sharded import (
                     gather_edge_shards,
@@ -444,51 +443,34 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     red_n, red_exp = int(r_n), int(r_exp)
                     break
                 red_exp = int(r_exp)
-            else:
-                if cap > (1 << 25) or edges[0].shape[0] > (1 << 25):
-                    # expansion (or the edge list itself) beyond device
-                    # comfort: exact chunked pass — in-core attempts at
-                    # this scale only waste doomed compiles/retries
-                    from sage2_tpu.graph.reduce import (
-                        transitive_reduction_chunked,
-                    )
-
-                    with log.timed("reduce", capacity=cap, chunked=True):
-                        red = transitive_reduction_chunked(
-                            jnp.asarray(edges[0]), jnp.asarray(edges[1]),
-                            jnp.asarray(edges[2]), V, vlen_arg,
-                            chunk_cap=1 << 24,
-                        )
-                    red_edges = (np.asarray(red.src), np.asarray(red.dst),
-                                 np.asarray(red.ovl))
-                    red_n, red_exp = int(red.n_edges), int(red.n_expansions)
-                    break
-                with log.timed("reduce", capacity=cap):
-                    red = transitive_reduction(
-                        jnp.asarray(edges[0]), jnp.asarray(edges[1]),
-                        jnp.asarray(edges[2]), V, vlen_arg, capacity=cap,
-                    )
-                    red.src.block_until_ready()
-                if not bool(red.overflow):
-                    red_edges = (np.asarray(red.src), np.asarray(red.dst),
-                                 np.asarray(red.ovl))
-                    red_n, red_exp = int(red.n_edges), int(red.n_expansions)
-                    break
-                red_exp = int(red.n_expansions)
-            # jump straight to the kernel's exact expansion count (each
-            # retry is a fresh compile — doubling wastes several)
-            grain = 1 << 16
-            cap = max(
-                cap + grain,
-                # sharded: per-device imbalance can overflow below the
-                # exact global count — doubling covers it
-                2 * cap if mesh is not None else 0,
-                -(-int(red_exp * 1.05) // grain) * grain,
-            )
-            if reqc is not None:
+                # jump past the kernel's exact expansion count (each
+                # retry is a fresh compile — doubling wastes several);
+                # per-device imbalance can overflow below the exact
+                # global count, so also double
+                grain = 1 << 16
+                cap = max(
+                    cap + grain, 2 * cap,
+                    -(-int(red_exp * 1.05) // grain) * grain,
+                )
                 reqc *= 2  # request routing may also have overflowed
-            log.log("reduce_retry", new_capacity=cap)
-        log.log("reduce_result", n_edges=red_n)
+                log.log("reduce_retry", new_capacity=cap)
+        else:
+            # exact-sizing path: per-edge expansion counts come first
+            # (E-sized prep, host-side numpy above 2^25 edges), so the
+            # kernel is sized to the problem — no capacity retries, no
+            # doomed compiles (round-2 burned 50% of e2e wall-clock on
+            # in-core retry recompiles at 1 Mbp)
+            from sage2_tpu.graph.reduce import transitive_reduction_chunked
+
+            with log.timed("reduce", chunked=True):
+                red = transitive_reduction_chunked(
+                    jnp.asarray(edges[0]), jnp.asarray(edges[1]),
+                    jnp.asarray(edges[2]), V, vlen_arg, chunk_cap=1 << 24,
+                )
+            red_edges = (np.asarray(red.src), np.asarray(red.dst),
+                         np.asarray(red.ovl))
+            red_n, red_exp = int(red.n_edges), int(red.n_expansions)
+        log.log("reduce_result", n_edges=red_n, n_expansions=red_exp)
         redges = red_edges
         _save(outdir, "reduced", src=redges[0], dst=redges[1], ovl=redges[2])
         _manifest(outdir, config, "reduce")
