@@ -12,8 +12,20 @@ hash index + memcmp extension) because the reference mount was empty
 (SURVEY.md §0/§6). Correctness is cross-checked: the device kernel and
 the baseline must report identical verified-overlap counts.
 
+Two device numbers are measured (BENCH detail carries both):
+
+  * single-dispatch — ONE 100k-read shard per jit call; includes the
+    relay's fixed per-dispatch floor (~24 ms dispatch + readback),
+    which on real v5e hardware is microseconds.
+  * amortized — K independent shards inside ONE jit call
+    (overlap.find_overlaps_stacked, lax.scan over the stack), the
+    steady-state production shape; the dispatch floor is paid once per
+    K shards, so this is the per-chip throughput the hardware actually
+    sustains. The headline value is the amortized number; per-shard
+    edges are asserted bit-identical to the single-shard kernel.
+
 Env knobs: SAGE2_BENCH_READS (default 100000), SAGE2_BENCH_READLEN (100),
-SAGE2_BENCH_MINOVL (40), SAGE2_BENCH_REPEATS (3).
+SAGE2_BENCH_MINOVL (40), SAGE2_BENCH_REPEATS (3), SAGE2_BENCH_STACK (8).
 """
 
 from __future__ import annotations
@@ -37,6 +49,7 @@ def main() -> int:
     read_len = int(os.environ.get("SAGE2_BENCH_READLEN", 100))
     min_ovl = int(os.environ.get("SAGE2_BENCH_MINOVL", 40))
     repeats = int(os.environ.get("SAGE2_BENCH_REPEATS", 3))
+    n_stack = int(os.environ.get("SAGE2_BENCH_STACK", 8))
     coverage = 45.0
     genome_len = int(n_reads * read_len / coverage)
 
@@ -61,51 +74,70 @@ def main() -> int:
 
     from sage2_tpu.data import simulate_genome, simulate_reads
     from sage2_tpu.io import native
-    from sage2_tpu.overlap import find_overlaps_auto
+    from sage2_tpu.overlap import find_overlaps_auto, find_overlaps_stacked
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    log(f"input: {n_reads} reads x {read_len} bp, min_overlap={min_ovl}, "
-        f"genome {genome_len} bp (~{coverage}x)")
+    log(f"input: {n_stack} shards x {n_reads} reads x {read_len} bp, "
+        f"min_overlap={min_ovl}, genome {genome_len} bp (~{coverage}x) "
+        f"per shard")
 
-    genome = simulate_genome(genome_len, seed=7)
-    reads, _ = simulate_reads(
-        genome, read_len=read_len, coverage=coverage,
-        error_rate=0.005, seed=8,
-    )
-    reads = reads[:n_reads]
-    n_reads = reads.shape[0]
+    # K statistically-identical shards (independent genomes, same
+    # coverage/error); shard 0 is the round-1/2 bench workload exactly
+    shards = []
+    for kk in range(n_stack):
+        genome = simulate_genome(genome_len, seed=7 + 1000 * kk)
+        rd, _ = simulate_reads(
+            genome, read_len=read_len, coverage=coverage,
+            error_rate=0.005, seed=8 + 1000 * kk,
+        )
+        shards.append(rd[:n_reads])
+        assert shards[-1].shape[0] == n_reads
+    reads = shards[0]
 
     # ---- single-threaded C++ baseline --------------------------------
     bb = native.baseline_binary()
-    base_secs = None
-    base_verified = None
+    base_secs = None           # shard 0, best of repeats
+    base_total = None          # all shards, best of repeats each
+    base_verified = []         # per shard
     if bb:
         with tempfile.TemporaryDirectory() as d:
-            raw = os.path.join(d, "reads.bin")
-            reads.astype(np.int8).tofile(raw)
-            # best of `repeats` runs, symmetric with the device timing
-            # (host load varies the C++ time 30-40% run to run)
-            for _ in range(repeats):
-                r = subprocess.run(
-                    [bb, "overlap", raw, str(n_reads), str(read_len),
-                     str(min_ovl)],
-                    capture_output=True, text=True, timeout=3600,
-                )
-                if r.returncode != 0:
-                    log("baseline failed:", r.stderr[:300])
+            per_shard = []
+            for kk, rd in enumerate(shards):
+                raw = os.path.join(d, f"reads{kk}.bin")
+                rd.astype(np.int8).tofile(raw)
+                best = None
+                # best of `repeats` runs, symmetric with the device
+                # timing (host load varies the C++ time 30-40%)
+                for _ in range(repeats):
+                    r = subprocess.run(
+                        [bb, "overlap", raw, str(n_reads), str(read_len),
+                         str(min_ovl)],
+                        capture_output=True, text=True, timeout=3600,
+                    )
+                    if r.returncode != 0:
+                        log("baseline failed:", r.stderr[:300])
+                        break
+                    v, s = r.stdout.split()
+                    verified = int(v)
+                    best = min(best or 1e30, float(s))
+                if best is None:
                     break
-                v, s = r.stdout.split()
-                base_verified = int(v)
-                base_secs = min(base_secs or 1e30, float(s))
+                per_shard.append(best)
+                base_verified.append(verified)
+            if len(per_shard) == n_stack:
+                base_secs = per_shard[0]
+                base_total = sum(per_shard)
         if base_secs is not None:
-            log(f"baseline (1 CPU thread): {base_secs:.3f}s best of "
-                f"{repeats}, {n_reads/base_secs:.0f} reads/s, "
-                f"{base_verified} verified overlaps")
+            log(f"baseline (1 CPU thread): shard0 {base_secs:.3f}s best "
+                f"of {repeats} ({n_reads/base_secs:.0f} reads/s, "
+                f"{base_verified[0]} overlaps); {n_stack} shards "
+                f"{base_total:.3f}s ({n_stack*n_reads/base_total:.0f} "
+                f"reads/s)")
     else:
         log("baseline binary unavailable")
 
-    # ---- device kernel ------------------------------------------------
+    # ---- device: single dispatch (includes per-dispatch floor) --------
     r_dev = jnp.asarray(reads.astype(np.int32))
     valid = jnp.ones(n_reads, bool)
 
@@ -138,19 +170,80 @@ def main() -> int:
     dev_secs = min(times)
     assert not bool(res.overflow)
     dev_verified = int(res.n_verified)
-    log(f"device: {dev_secs:.3f}s best of {repeats}, "
+    log(f"device single-dispatch: {dev_secs:.3f}s best of {repeats}, "
         f"{n_reads/dev_secs:.0f} reads/s, {dev_verified} verified overlaps")
 
-    if base_verified is not None and base_verified != dev_verified:
-        log(f"MISMATCH: baseline {base_verified} != device {dev_verified}")
+    if base_verified and base_verified[0] != dev_verified:
+        log(f"MISMATCH: baseline {base_verified[0]} != device "
+            f"{dev_verified}")
 
-    value = n_reads / dev_secs
-    vs = (value / (n_reads / base_secs)) if base_secs else None
+    # ---- device: K shards per dispatch (amortized floor) --------------
+    # capacity: max exact candidate count over shards, 64k-grain headroom
+    caps = [int(res.n_candidates)]
+    for rd in shards[1:]:
+        r1 = find_overlaps_auto(
+            jnp.asarray(rd.astype(np.int32)), valid, min_ovl, seed_len=32
+        )
+        caps.append(int(r1.n_candidates))
+    cap = -(-int(max(caps) * 1.05) // (1 << 16)) * (1 << 16)
+    reads3 = jnp.asarray(
+        np.stack([rd.astype(np.int32) for rd in shards])
+    )
+    valid3 = jnp.ones((n_stack, n_reads), bool)
+    t0 = time.perf_counter()
+    out = find_overlaps_stacked(
+        reads3, valid3, min_ovl, seed_len=32, capacity=cap
+    )
+    out[0].block_until_ready()
+    log(f"stacked compile+first run: {time.perf_counter()-t0:.1f}s "
+        f"(K={n_stack}, capacity={cap})")
+    st_times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = find_overlaps_stacked(
+            reads3, valid3, min_ovl, seed_len=32, capacity=cap
+        )
+        out[0].block_until_ready()
+        st_times.append(time.perf_counter() - t0)
+    stack_secs = min(st_times)
+    n_ver3 = np.asarray(out[5])
+    assert not np.asarray(out[6]).any(), "stacked overflow"
+    # per-shard parity: stacked kernel == C++ baseline verified counts
+    if base_verified:
+        for kk in range(n_stack):
+            assert int(n_ver3[kk]) == base_verified[kk], (
+                f"shard {kk}: device {int(n_ver3[kk])} != "
+                f"baseline {base_verified[kk]}"
+            )
+    amort = n_stack * n_reads / stack_secs
+    marginal_ms = 1e3 * (stack_secs - dev_secs) / (n_stack - 1)
+    floor_ms = 1e3 * dev_secs - marginal_ms
+    log(f"device stacked: {stack_secs:.3f}s best of {repeats} for "
+        f"{n_stack} shards -> amortized {amort:.0f} reads/s "
+        f"({1e3*stack_secs/n_stack:.1f} ms/shard; inferred marginal "
+        f"{marginal_ms:.1f} ms/shard, dispatch floor {floor_ms:.1f} ms)")
+
+    value = amort
+    base_rps = (n_stack * n_reads / base_total) if base_total else None
+    vs = (value / base_rps) if base_rps else None
+    single_rps = n_reads / dev_secs
+    vs_single = (single_rps / (n_reads / base_secs)) if base_secs else None
     print(json.dumps({
         "metric": "overlap_detection_reads_per_s_per_chip",
         "value": round(value, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": {
+            "amortized_reads_per_s": round(value, 1),
+            "single_dispatch_reads_per_s": round(single_rps, 1),
+            "vs_baseline_single_dispatch": (
+                round(vs_single, 2) if vs_single is not None else None
+            ),
+            "n_shards_per_dispatch": n_stack,
+            "marginal_ms_per_shard": round(marginal_ms, 2),
+            "dispatch_floor_ms": round(floor_ms, 2),
+            "verified_overlaps_shard0": dev_verified,
+        },
     }))
     return 0
 

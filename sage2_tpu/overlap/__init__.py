@@ -6,6 +6,7 @@ from sage2_tpu.overlap.detect import (
     OverlapResult,
     find_overlaps,
     find_overlaps_auto,
+    find_overlaps_stacked,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "OverlapResult",
     "find_overlaps",
     "find_overlaps_auto",
+    "find_overlaps_stacked",
 ]

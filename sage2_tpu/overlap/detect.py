@@ -923,6 +923,46 @@ def _reduce_fused(
     return k_src, k_dst, k_ovl, n_edges
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_find_stacked(min_overlap: int, seed_len: int, capacity: int,
+                         stride: int | None):
+    def body(carry, rv):
+        r, v = rv
+        res = find_overlaps(r, v, min_overlap, seed_len, capacity, stride)
+        return carry, (res.src, res.dst, res.ovl, res.n_edges,
+                       res.n_candidates, res.n_verified, res.overflow)
+
+    def run(reads3, valid3):
+        _, out = jax.lax.scan(body, 0, (reads3, valid3))
+        return out
+
+    return jax.jit(run)
+
+
+def find_overlaps_stacked(
+    reads3: jnp.ndarray,
+    valid3: jnp.ndarray,
+    min_overlap: int,
+    seed_len: int = 32,
+    capacity: int = 1 << 20,
+    stride: int | None = None,
+):
+    """K independent read shards through the fused join in ONE jit call.
+
+    ``reads3``: (K, M, L) stacked shards; ``valid3``: (K, M). Runs the
+    exact find_overlaps program K times under a lax.scan, so the
+    per-dispatch fixed floor (jit call + relay round trip on the bench
+    chip; SURVEY.md §3.3 north star) is paid ONCE for the whole stack —
+    steady-state production shape: amortized per-shard cost is the
+    kernel's marginal work only. Returns stacked per-shard
+    (src, dst, ovl, n_edges, n_candidates, n_verified, overflow); each
+    shard's outputs are bit-identical to find_overlaps on that shard
+    (asserted in tests and bench.py).
+    """
+    fn = _jitted_find_stacked(min_overlap, seed_len, capacity, stride)
+    return fn(reads3, valid3)
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_find(min_overlap: int, seed_len: int, capacity: int,
                  stride: int | None, ragged: bool):

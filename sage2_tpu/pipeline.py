@@ -139,6 +139,8 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
     N, L = reads.shape
     start = STAGES.index(resume_from) if resume_from else 0
     mate_pairs_np = None
+    edges_dev = None     # meshed: per-device src-range edge shards
+    reduced_dev = None   # meshed: reduced edges, still on device
 
     mesh = None
     if config.mesh_shape is not None:
@@ -311,9 +313,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 edge_cap *= 2
                 log.log("overlap_retry", row_cap=row_cap,
                         join_cap=join_cap, edge_cap=edge_cap)
-            e_src, e_dst, e_ovl = gather_edge_shards(
-                src_sh, dst_sh, ovl_sh, n_edges
-            )
+            # the overlap output IS the reduction's input partition:
+            # device d's slice holds src range [d*Mp/nd, (d+1)*Mp/nd),
+            # internally (src, dst)-sorted — keep it ON DEVICE and chain
+            # it into the sharded reduce/traverse stages (no host
+            # round-trip between device stages); the global edge list is
+            # materialized on host ONLY for the optional stage artifact
+            edges_dev = (src_sh, dst_sh, ovl_sh)
             n_edges_i = int(n_edges)
             n_cand_i = n_edges_i
             log.log(
@@ -323,7 +329,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 row_cap=row_cap, join_cap=join_cap, edge_cap=edge_cap,
                 global_reads=Mp,
             )
-            edges = (e_src, e_dst, e_ovl)
+            edges = (
+                gather_edge_shards(src_sh, dst_sh, ovl_sh, n_edges)
+                if outdir else None
+            )
         else:
             with log.timed("overlap"):
                 res = find_overlaps_auto(
@@ -383,10 +392,11 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 )
                 extra["mate_pairs"] = mate_pairs_np
                 log.log("mate_pairs", n_pairs=len(mate_pairs_np))
-            _save(outdir, "edges", src=edges[0], dst=edges[1], ovl=edges[2],
-                  n_edges=n_edges_i, reads2=reads2_np, valid2=valid2_np,
-                  multiplicity=mult_np, **extra)
-            _manifest(outdir, config, "overlap")
+            if edges is not None:
+                _save(outdir, "edges", src=edges[0], dst=edges[1],
+                      ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
+                      valid2=valid2_np, multiplicity=mult_np, **extra)
+                _manifest(outdir, config, "overlap")
         lengths2_np = (
             None if rs is None or rs.lengths2 is None
             else np.asarray(rs.lengths2)
@@ -404,27 +414,34 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
     # --- stage 4: transitive reduction (SURVEY.md §3.4) ----------------
     if start <= STAGES.index("reduce"):
         if mesh is not None:
-            cap = config.reduce_capacity
-            reqc = None
-            while True:
-                from sage2_tpu.parallel import sharded_transitive_reduction
-                from sage2_tpu.parallel.sharded import (
-                    gather_edge_shards,
-                    partition_edges_by_src,
-                )
+            from sage2_tpu.parallel import sharded_transitive_reduction
+            from sage2_tpu.parallel.sharded import (
+                gather_edge_shards,
+                partition_edges_by_src,
+            )
 
-                nd = mesh.devices.size
-                s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
+            nd = mesh.devices.size
+            if edges_dev is not None:
+                # overlap output shards chain straight in: same src-range
+                # partition, same per-shard sort, still on device
+                s_sh, d_sh, o_sh = edges_dev
+                n_edges_glob = n_edges_i
+            else:
+                s_np, d_np, o_np, _vd = partition_edges_by_src(
                     edges[0], edges[1], edges[2], V, nd
                 )
-                if reqc is None:
-                    reqc = max(4096, 2 * s_sh.shape[1] // nd)
+                s_sh, d_sh, o_sh = (
+                    jnp.asarray(s_np), jnp.asarray(d_np), jnp.asarray(o_np)
+                )
+                n_edges_glob = int(np.sum(s_np != 2**31 - 1))
+            cap = config.reduce_capacity
+            reqc = max(4096, 2 * s_sh.shape[1] // nd)
+            while True:
                 cap_dev = -(-cap // nd)
                 with log.timed("reduce", capacity=cap, sharded=True):
                     (r_src, r_dst, r_ovl, r_n, r_exp,
                      r_ovf) = sharded_transitive_reduction(
-                        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh),
-                        jnp.asarray(o_sh), V, L,
+                        mesh, s_sh, d_sh, o_sh, V, L,
                         req_cap=reqc,
                         cand_cap=cap_dev,
                     )
@@ -434,8 +451,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                         "reduce_device_memory",
                         edges_per_device=int(s_sh.shape[1]),
                         req_cap=reqc,
-                        cand_cap=cap_dev, global_edges=int(edges[0].shape[0]),
+                        cand_cap=cap_dev, global_edges=n_edges_glob,
                     )
+                    reduced_dev = (r_src, r_dst, r_ovl)
                     g_src, g_dst, g_ovl = gather_edge_shards(
                         r_src, r_dst, r_ovl, r_n
                     )
@@ -488,15 +506,21 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             )
 
             nd = mesh.devices.size
-            s_sh, d_sh, o_sh, _vd = partition_edges_by_src(
-                redges[0], redges[1], redges[2], V, nd
-            )
+            if reduced_dev is not None:
+                # reduced edge shards chain straight in, still on device
+                s_sh, d_sh, o_sh = reduced_dev
+            else:
+                s_np, d_np, o_np, _vd = partition_edges_by_src(
+                    redges[0], redges[1], redges[2], V, nd
+                )
+                s_sh, d_sh, o_sh = (
+                    jnp.asarray(s_np), jnp.asarray(d_np), jnp.asarray(o_np)
+                )
             rcap = max(4096, 2 * max(s_sh.shape[1], -(-V // nd)) // nd)
             while True:
                 with log.timed("traverse", sharded=True):
                     shards, t_ovf = sharded_contract_unitigs(
-                        mesh, jnp.asarray(s_sh), jnp.asarray(d_sh),
-                        jnp.asarray(o_sh), V, route_cap=rcap,
+                        mesh, s_sh, d_sh, o_sh, V, route_cap=rcap,
                     )
                     shards[0].block_until_ready()
                 if not bool(t_ovf):

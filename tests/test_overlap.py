@@ -244,3 +244,40 @@ def test_words0_seed_keys_and_verify_match_shifted(rng):
         chunk=1024,
     )
     np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_chunked))
+
+
+def test_stacked_matches_per_shard():
+    """find_overlaps_stacked (K shards, one jit call) is bit-identical to
+    find_overlaps per shard (the amortized-dispatch production shape)."""
+    from sage2_tpu.overlap import find_overlaps_stacked
+
+    K = 3
+    shards = []
+    for k in range(K):
+        genome = simulate_genome(400, seed=31 + k)
+        reads, _ = simulate_reads(
+            genome, read_len=40, coverage=10, error_rate=0.005, seed=41 + k
+        )
+        rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+        shards.append((np.asarray(rs.reads2), np.asarray(rs.valid2)))
+    M = max(r.shape[0] for r, _ in shards)
+    reads3 = np.zeros((K, M, shards[0][0].shape[1]), np.int32)
+    valid3 = np.zeros((K, M), bool)
+    for k, (r, v) in enumerate(shards):
+        reads3[k, : r.shape[0]] = r
+        valid3[k, : v.shape[0]] = v
+    cap = 1 << 14
+    out = find_overlaps_stacked(
+        jnp.asarray(reads3), jnp.asarray(valid3), 20, capacity=cap
+    )
+    src3, dst3, ovl3, n3, _nc3, nv3, ovf3 = (np.asarray(a) for a in out)
+    assert not ovf3.any()
+    for k in range(K):
+        ref = find_overlaps(
+            jnp.asarray(reads3[k]), jnp.asarray(valid3[k]), 20, capacity=cap
+        )
+        assert int(ref.n_edges) == int(n3[k])
+        assert int(ref.n_verified) == int(nv3[k])
+        np.testing.assert_array_equal(np.asarray(ref.src), src3[k])
+        np.testing.assert_array_equal(np.asarray(ref.dst), dst3[k])
+        np.testing.assert_array_equal(np.asarray(ref.ovl), ovl3[k])

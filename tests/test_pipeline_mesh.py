@@ -28,3 +28,26 @@ def test_assemble_on_mesh_matches_single_device():
     assert len(single) == len(meshed)
     for a, b in zip(single, meshed):
         np.testing.assert_array_equal(a, b)
+
+
+def test_assemble_on_mesh_with_artifacts_and_resume(tmp_path):
+    """Meshed run with an outdir still writes stage artifacts (the host
+    edge gather is optional but must work), and resume-from re-enters the
+    meshed pipeline through the host-partition fallback."""
+    genome = simulate_genome(1500, seed=511)
+    reads, _ = simulate_reads(
+        genome, read_len=50, coverage=12, error_rate=0.01, seed=512
+    )
+    cfg = replace(CFG, mesh_shape=(8,))
+    out = str(tmp_path / "mesh_out")
+    meshed, m_stats = assemble(reads, cfg, outdir=out)
+    import os
+
+    for artifact in ("corrected.npz", "edges.npz", "reduced.npz",
+                     "labels.npz", "contigs.fasta", "stats.json"):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+    resumed, r_stats = assemble(reads, cfg, outdir=out,
+                                resume_from="reduce")
+    assert m_stats == r_stats
+    for a, b in zip(meshed, resumed):
+        np.testing.assert_array_equal(a, b)
