@@ -27,6 +27,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--min-overlap", type=int, default=40)
     p.add_argument("--solid-threshold", type=int, default=2)
     p.add_argument("--correction-rounds", type=int, default=2)
+    p.add_argument("--correction-rule",
+                   choices=["single_window", "vote_all_windows"],
+                   default="single_window",
+                   help="spectrum-correction verdict rule: one covering"
+                        " window per sub-pass (pinned default) or"
+                        " RACER-style voting across ALL covering windows")
     p.add_argument("--min-contig-len", type=int, default=200)
     p.add_argument("--traversal", choices=["unitig", "mincost"],
                    default="mincost")
@@ -69,6 +75,7 @@ def _config(args) -> "AssemblyConfig":
         min_overlap=args.min_overlap,
         solid_threshold=args.solid_threshold,
         correction_rounds=args.correction_rounds,
+        correction_rule=getattr(args, "correction_rule", "single_window"),
         min_contig_len=args.min_contig_len,
         traversal=args.traversal,
         candidate_capacity=args.candidate_capacity,

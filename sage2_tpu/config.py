@@ -25,6 +25,10 @@ class AssemblyConfig:
     k: int = 25                     # k-mer length; 1 < k <= 31 (fits 2 uint32 words)
     solid_threshold: int = 2        # count >= threshold => k-mer is "solid"
     correction_rounds: int = 2      # spectrum-correction iterations (RACER-style)
+    correction_rule: str = "single_window"  # "single_window" (pinned
+                                    # round-1/2 rule) | "vote_all_windows"
+                                    # (RACER-style covering-window voting;
+                                    # SURVEY.md §10 parity alternative)
 
     # --- overlap layer (SURVEY.md §2 "Overlap detector") ---
     min_overlap: int = 40           # minimum exact suffix-prefix overlap length
@@ -78,6 +82,10 @@ class AssemblyConfig:
             )
         if self.traversal not in ("unitig", "mincost"):
             raise ValueError(f"unknown traversal mode {self.traversal!r}")
+        if self.correction_rule not in ("single_window", "vote_all_windows"):
+            raise ValueError(
+                f"unknown correction rule {self.correction_rule!r}"
+            )
 
     @property
     def effective_seed_len(self) -> int:

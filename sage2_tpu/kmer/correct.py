@@ -128,7 +128,74 @@ def _correct_impl(
     return reads
 
 
+def _correct_voting_impl(
+    reads: jnp.ndarray,
+    table_arrays,
+    k: int,
+    threshold: int,
+    rounds: int,
+    lengths=None,
+) -> jnp.ndarray:
+    """Covering-window VOTING rule (semantics pinned by
+    refmodel.oracle.oracle_correct_voting — see there for the rule).
+
+    Per round, the 4 variant keys of every window-internal position j
+    are O(1) key edits; solidity verdicts accumulate into a (N, L, 4)
+    vote array by shifted slice-adds (window w's position j votes for
+    base position w + j), so the pass is k batched table probes with no
+    per-base scalar loop.
+    """
+    N, L = reads.shape
+    P = L - k + 1
+    wvalid = None
+    if lengths is not None:
+        wvalid = jnp.arange(P)[None, :] < (lengths[:, None] - (k - 1))
+    for r in range(rounds):
+        if r == 0 and table_arrays is not None:
+            t = KmerTable(*table_arrays, k)
+        else:
+            from sage2_tpu.kmer.count import _count_impl
+
+            t = KmerTable(*_count_impl(reads, k, lengths), k)
+        fh, fl = bitpack.kmer_keys(reads, k)
+        rh, rl = bitpack.revcomp_kmer_keys(reads, k)
+        votes = jnp.zeros((4, N, L), jnp.int32)
+        for j in range(k):
+            cur = reads[..., j : j + P]
+            chs, cls = [], []
+            for b in range(4):
+                bb = jnp.full(cur.shape, b, cur.dtype)
+                vfh, vfl = bitpack.set_base(fh, fl, k, j, cur, bb)
+                # window position j is rc position k-1-j, complemented
+                vrh, vrl = bitpack.set_base(
+                    rh, rl, k, k - 1 - j, 3 - cur, 3 - bb
+                )
+                ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
+                chs.append(ch)
+                cls.append(cl)
+            cnt = lookup_counts(t, jnp.stack(chs), jnp.stack(cls))
+            solid = (cnt >= threshold).astype(jnp.int32)
+            if wvalid is not None:
+                solid = solid * wvalid[None].astype(jnp.int32)
+            votes = votes.at[:, :, j : j + P].add(solid)
+        votes = jnp.moveaxis(votes, 0, -1)                     # (N, L, 4)
+        vcur = jnp.take_along_axis(
+            votes, reads[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        m = jnp.max(votes, axis=-1)
+        n_at_max = jnp.sum(
+            (votes == m[..., None]).astype(jnp.int32), axis=-1
+        )
+        best = jnp.argmax(votes, axis=-1).astype(reads.dtype)
+        replace = (m > vcur) & (n_at_max == 1)
+        if lengths is not None:
+            replace = replace & (jnp.arange(L)[None, :] < lengths[:, None])
+        reads = jnp.where(replace, best, reads)
+    return reads
+
+
 _correct_jit = jax.jit(_correct_impl, static_argnums=(2, 3, 4))
+_correct_voting_jit = jax.jit(_correct_voting_impl, static_argnums=(2, 3, 4))
 
 
 def correct_reads(
@@ -138,6 +205,7 @@ def correct_reads(
     rounds: int,
     table: KmerTable | None = None,
     lengths: jnp.ndarray | None = None,
+    rule: str = "single_window",
 ) -> jnp.ndarray:
     """Correct reads (N, L). Returns corrected reads.
 
@@ -147,8 +215,18 @@ def correct_reads(
     past a read's end neither vote nor edit. One jit per (shape, k,
     threshold, rounds): eager per-op dispatch costs ~24 ms/op on the
     bench device (BASELINE.md round-2 anatomy).
+
+    ``rule``: "single_window" (default, the pinned round-1/2 rule: each
+    base judged by one covering window per sub-pass) or
+    "vote_all_windows" (RACER-style covering-window voting — SURVEY.md
+    §10 names this the likely reference-parity difference; both are
+    oracle-pinned so the eventual citation pass is a config change).
     """
     ta = None if table is None else (
         table.hi, table.lo, table.count, table.n_unique
     )
-    return _correct_jit(reads, ta, k, threshold, rounds, lengths)
+    if rule == "single_window":
+        return _correct_jit(reads, ta, k, threshold, rounds, lengths)
+    if rule == "vote_all_windows":
+        return _correct_voting_jit(reads, ta, k, threshold, rounds, lengths)
+    raise ValueError(f"unknown correction rule {rule!r}")

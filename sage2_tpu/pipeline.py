@@ -167,6 +167,12 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
 
     # --- stage 1+2: count + correct (SURVEY.md §3.2) -------------------
     if start <= STAGES.index("correct"):
+        if config.correction_rule != "single_window" and mesh is not None:
+            raise NotImplementedError(
+                "correction_rule='vote_all_windows' is single-device /"
+                " streamed only this round (the sharded corrector routes"
+                " the single-window probes)"
+            )
         if mesh is not None:
             from sage2_tpu.parallel import sharded_correct_reads
 
@@ -193,6 +199,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 corrected_np = correct_reads_chunked(
                     reads, config.k, config.solid_threshold,
                     config.correction_rounds, chunk_reads=stream_chunk,
+                    rule=config.correction_rule,
                 )
         else:
             r = jnp.asarray(reads.astype(np.int32))
@@ -205,6 +212,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     r, config.k, config.solid_threshold,
                     config.correction_rounds, table=table,
                     lengths=lengths_dev,
+                    rule=config.correction_rule,
                 )
                 corrected.block_until_ready()
             corrected_np = np.asarray(corrected, dtype=np.int8)

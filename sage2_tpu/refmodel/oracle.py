@@ -83,6 +83,45 @@ def oracle_correct(
     return reads
 
 
+def oracle_correct_voting(
+    reads: np.ndarray, k: int, threshold: int, rounds: int
+) -> np.ndarray:
+    """RACER-style covering-window VOTING correction (the alternative
+    rule pinned for the eventual reference-parity pass; SURVEY.md §10).
+
+    Per round: recount k-mers of the current reads, then ONE voting pass
+    with all verdicts computed from the pre-round reads and applied at
+    once. For base position p and candidate base b, votes(p, b) = number
+    of windows w covering p whose k-mer, with position p set to b, is
+    solid (count >= threshold). Base p is replaced by b* iff b* is the
+    UNIQUE argmax of votes(p, .) and votes(p, b*) > votes(p, cur) — a
+    strictly better-supported base exists. No forward/backward
+    sub-passes: voting already weighs every covering window of every
+    base symmetrically.
+    """
+    reads = np.array(reads, dtype=np.int32, copy=True)
+    N, L = reads.shape
+    P = L - k + 1
+    for _ in range(rounds):
+        counts = oracle_kmer_counts(reads, k)
+        new_reads = reads.copy()
+        for i in range(N):
+            for p in range(L):
+                votes = np.zeros(4, dtype=np.int64)
+                for w in range(max(0, p - k + 1), min(p, P - 1) + 1):
+                    win = reads[i, w : w + k].copy()
+                    for b in range(4):
+                        win[p - w] = b
+                        if _lookup(counts, win) >= threshold:
+                            votes[b] += 1
+                cur = int(reads[i, p])
+                m = votes.max()
+                if m > votes[cur] and int((votes == m).sum()) == 1:
+                    new_reads[i, p] = int(np.argmax(votes))
+        reads = new_reads
+    return reads
+
+
 def oracle_overlaps(
     reads: np.ndarray, min_overlap: int
 ) -> Dict[Tuple[int, int], int]:

@@ -297,6 +297,7 @@ def correct_reads_chunked(
     threshold: int,
     rounds: int,
     chunk_reads: int,
+    rule: str = "single_window",
 ) -> np.ndarray:
     """Spectrum correction streamed in chunks.
 
@@ -325,7 +326,7 @@ def correct_reads_chunked(
                 )
             chunk = jnp.asarray(raw.astype(np.int32))
             corrected = correct_reads(
-                chunk, k, threshold, rounds=1, table=table
+                chunk, k, threshold, rounds=1, table=table, rule=rule
             )
             out[i : i + chunk_reads] = np.asarray(
                 corrected, dtype=np.int8
