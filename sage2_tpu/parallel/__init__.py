@@ -12,6 +12,11 @@ from sage2_tpu.parallel.sharded import (
     sharded_find_overlaps,
     sharded_transitive_reduction,
 )
+from sage2_tpu.parallel.sharded_stream import (
+    sharded_correct_reads_chunked,
+    sharded_count_kmers_chunked,
+    sharded_find_overlaps_chunked,
+)
 
 __all__ = [
     "init_distributed",
@@ -22,6 +27,9 @@ __all__ = [
     "sharded_contract_unitigs",
     "sharded_count_kmers",
     "sharded_correct_reads",
+    "sharded_correct_reads_chunked",
+    "sharded_count_kmers_chunked",
     "sharded_find_overlaps",
+    "sharded_find_overlaps_chunked",
     "sharded_transitive_reduction",
 ]

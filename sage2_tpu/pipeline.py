@@ -150,12 +150,16 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         log.log("mesh", n_devices=mesh.devices.size)
 
     # larger-than-HBM streaming (SURVEY.md §7): chunk the device-facing
-    # stages when the input exceeds the configured residency budget
+    # stages when the input exceeds the configured residency budget.
+    # Composes with the mesh (BASELINE.json config #4 needs both at
+    # once): chunks stream host->device while each chunk's work routes
+    # over the mesh (parallel.sharded_stream).
     stream_chunk = None
     if (config.max_device_reads is not None
-            and N > config.max_device_reads and mesh is None):
+            and N > config.max_device_reads):
         stream_chunk = config.max_device_reads
-        log.log("streaming", chunk_reads=stream_chunk, n_reads=N)
+        log.log("streaming", chunk_reads=stream_chunk, n_reads=N,
+                meshed=mesh is not None)
 
     if lengths is not None and (mesh is not None or stream_chunk):
         raise NotImplementedError(
@@ -173,7 +177,32 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 " streamed only this round (the sharded corrector routes"
                 " the single-window probes)"
             )
-        if mesh is not None:
+        if mesh is not None and stream_chunk is not None:
+            from sage2_tpu.parallel import sharded_correct_reads_chunked
+
+            nd = mesh.devices.size
+            rows = min(stream_chunk, N)
+            rows += (-rows) % nd
+            cap = max(4096, 4 * rows * (L - config.k + 1) // nd)
+            # unique k-mers per device: ~total/coverage heuristic start,
+            # doubled on overflow
+            tcap = max(1 << 15, N * (L - config.k + 1) // (8 * nd))
+            while True:
+                with log.timed("correct", rounds=config.correction_rounds,
+                               sharded=True, streamed=True,
+                               chunk_reads=stream_chunk):
+                    corrected_np, ovf = sharded_correct_reads_chunked(
+                        mesh, reads, config.k, config.solid_threshold,
+                        config.correction_rounds,
+                        chunk_reads=stream_chunk,
+                        route_cap=cap, query_cap=cap, table_cap=tcap,
+                    )
+                if not ovf:
+                    break
+                cap *= 2
+                tcap *= 2
+                log.log("correct_retry", route_cap=cap, table_cap=tcap)
+        elif mesh is not None:
             from sage2_tpu.parallel import sharded_correct_reads
 
             nd = mesh.devices.size
@@ -223,7 +252,82 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
 
     # --- stage 3: dedup + overlaps (SURVEY.md §3.3) --------------------
     if start <= STAGES.index("overlap"):
-        if stream_chunk is not None:
+        if stream_chunk is not None and mesh is not None:
+            from sage2_tpu.overlap.detect import join_geometry
+            from sage2_tpu.parallel import sharded_find_overlaps_chunked
+            from sage2_tpu.parallel.sharded import gather_edge_shards
+            from sage2_tpu.stream import prepare_reads_chunked
+
+            # host-side dedup (device holds one chunk's packs at a time)
+            with log.timed("dedup", streamed=True):
+                reads2_np, valid2_np, mult_np, n_uniq, vread_np = (
+                    prepare_reads_chunked(corrected_np, stream_chunk)
+                )
+            nd = mesh.devices.size
+            M2 = reads2_np.shape[0]
+            geo = join_geometry(
+                L, config.min_overlap, config.effective_seed_len
+            )
+            rows = min(2 * stream_chunk, M2)
+            rows += (-rows) % nd
+            row_cap = max(4096, 2 * (rows // nd) * geo.g // nd)
+            q_cap = max(4096, 2 * (rows // nd) * geo.n_pos // nd)
+            join_cap = max(1 << 16, 32 * rows // nd)
+            # a chunk's edges all land on the 1-2 owners of its src
+            # range, so the per-(src,dst)-pair edge route needs ~1/nd of
+            # the whole chunk's edges, not 1/nd^2
+            edge_chunk_cap = max(4096, 32 * rows // nd)
+            edge_cap = max(1 << 16, 32 * (M2 + (-M2) % nd) // nd)
+            while True:
+                with log.timed("overlap", sharded=True, streamed=True,
+                               chunk_reads=stream_chunk):
+                    (src_sh, dst_sh, ovl_sh, n_edges_i,
+                     ovf) = sharded_find_overlaps_chunked(
+                        mesh, reads2_np, valid2_np, config.min_overlap,
+                        config.effective_seed_len,
+                        chunk_reads=2 * stream_chunk,
+                        row_cap=row_cap, q_cap=q_cap, join_cap=join_cap,
+                        edge_chunk_cap=edge_chunk_cap, edge_cap=edge_cap,
+                    )
+                if not ovf:
+                    break
+                row_cap *= 2
+                q_cap *= 2
+                join_cap *= 2
+                edge_chunk_cap *= 2
+                edge_cap *= 2
+                log.log("overlap_retry", row_cap=row_cap, q_cap=q_cap,
+                        join_cap=join_cap, edge_chunk_cap=edge_chunk_cap,
+                        edge_cap=edge_cap)
+            edges_dev = (src_sh, dst_sh, ovl_sh)
+            n_cand_i = n_edges_i
+            log.log("overlap_result", n_edges=n_edges_i,
+                    n_candidates=n_cand_i, n_unique_reads=n_uniq)
+            log.log(
+                "overlap_device_memory",
+                chunk_rows_per_device=rows // nd,
+                entry_rows_per_device="accumulated/ndev",
+                row_cap=row_cap, q_cap=q_cap, join_cap=join_cap,
+                edge_chunk_cap=edge_chunk_cap, edge_cap=edge_cap,
+                global_reads=M2,
+            )
+            extra = {}
+            if mate_of is not None:
+                mate_pairs_np = _mate_pairs(vread_np, mate_of)
+                extra["mate_pairs"] = mate_pairs_np
+                log.log("mate_pairs", n_pairs=len(mate_pairs_np))
+            if outdir:
+                edges = gather_edge_shards(
+                    src_sh, dst_sh, ovl_sh, n_edges_i
+                )
+                _save(outdir, "edges", src=edges[0], dst=edges[1],
+                      ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
+                      valid2=valid2_np, multiplicity=mult_np, **extra)
+                _manifest(outdir, config, "overlap")
+            else:
+                edges = None
+            rs = None
+        elif stream_chunk is not None:
             from sage2_tpu.stream import (
                 find_overlaps_chunked,
                 prepare_reads_chunked,

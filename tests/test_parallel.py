@@ -206,3 +206,84 @@ def test_sharded_unitig_labels_match_single(mesh):
     for name, sh, ref in zip(names, shards, single):
         got = gather_cyclic_shards(sh, V)
         np.testing.assert_array_equal(got, np.asarray(ref), err_msg=name)
+
+
+# --------------------------------------------------------------------------
+# streaming x mesh composition (parallel.sharded_stream)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_sharded_chunked_count_matches_incore(mesh):
+    import jax.numpy as jnp
+
+    from sage2_tpu.kmer import count_kmers
+    from sage2_tpu.parallel import sharded_count_kmers_chunked
+
+    genome = simulate_genome(1200, seed=61)
+    reads, _ = simulate_reads(genome, read_len=40, coverage=15,
+                              error_rate=0.02, seed=62)
+    reads = reads.astype(np.int32)
+    K = 13
+    t_ref = count_kmers(jnp.asarray(reads), K)
+    nref = int(t_ref.n_unique)
+    tbl, ovf = sharded_count_kmers_chunked(
+        mesh, reads, K, chunk_reads=100, route_cap=4096, table_cap=4096
+    )
+    assert not ovf
+    hi, lo, ct = (np.asarray(a) for a in (tbl.hi, tbl.lo, tbl.count))
+    nu = np.asarray(tbl.n_unique)
+    rows = [np.stack([hi[d, : nu[d]], lo[d, : nu[d]], ct[d, : nu[d]]],
+                     axis=1) for d in range(hi.shape[0])]
+    allr = np.concatenate(rows)
+    allr = allr[np.lexsort((allr[:, 1], allr[:, 0]))]
+    ref = np.stack([np.asarray(t_ref.hi[:nref]), np.asarray(t_ref.lo[:nref]),
+                    np.asarray(t_ref.count[:nref])], axis=1)
+    np.testing.assert_array_equal(allr, ref)
+
+
+@pytest.mark.slow
+def test_sharded_chunked_correct_and_overlap_match_incore(mesh):
+    import jax.numpy as jnp
+
+    from sage2_tpu.kmer import correct_reads
+    from sage2_tpu.overlap import find_overlaps_auto, prepare_reads
+    from sage2_tpu.parallel import (
+        gather_edge_shards,
+        sharded_correct_reads_chunked,
+        sharded_find_overlaps_chunked,
+    )
+
+    genome = simulate_genome(1200, seed=61)
+    reads, _ = simulate_reads(genome, read_len=40, coverage=15,
+                              error_rate=0.02, seed=62)
+    reads = reads.astype(np.int32)
+    K = 13
+    corr_ref = np.asarray(correct_reads(jnp.asarray(reads), K, 3, 2),
+                          np.int8)
+    corr, ovf = sharded_correct_reads_chunked(
+        mesh, reads, K, 3, 2, chunk_reads=100,
+        route_cap=8192, query_cap=8192, table_cap=4096,
+    )
+    assert not ovf
+    np.testing.assert_array_equal(corr, corr_ref)
+
+    rs = prepare_reads(jnp.asarray(corr_ref.astype(np.int32)))
+    res = find_overlaps_auto(rs.reads2, rs.valid2, 20, seed_len=32)
+    assert not bool(res.overflow)
+    n_ref = int(res.n_edges)
+    src_sh, dst_sh, ovl_sh, n_edges, ovf = sharded_find_overlaps_chunked(
+        mesh, np.asarray(rs.reads2), np.asarray(rs.valid2), 20, 32,
+        chunk_reads=160, row_cap=4096, q_cap=4096, join_cap=1 << 16,
+        edge_chunk_cap=4096, edge_cap=1 << 16,
+    )
+    assert not ovf
+    assert n_edges == n_ref
+    g_src, g_dst, g_ovl = gather_edge_shards(src_sh, dst_sh, ovl_sh,
+                                             n_edges)
+    np.testing.assert_array_equal(g_src[:n_edges],
+                                  np.asarray(res.src)[:n_edges])
+    np.testing.assert_array_equal(g_dst[:n_edges],
+                                  np.asarray(res.dst)[:n_edges])
+    np.testing.assert_array_equal(g_ovl[:n_edges],
+                                  np.asarray(res.ovl)[:n_edges])

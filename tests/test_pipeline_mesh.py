@@ -51,3 +51,19 @@ def test_assemble_on_mesh_with_artifacts_and_resume(tmp_path):
     assert m_stats == r_stats
     for a, b in zip(meshed, resumed):
         np.testing.assert_array_equal(a, b)
+
+
+def test_assemble_streamed_and_meshed_matches_single_device():
+    """BOTH scaling mechanisms at once (BASELINE.json config #4 shape):
+    streaming chunks through the mesh is bit-identical to in-core."""
+    genome = simulate_genome(2000, seed=501)
+    reads, _ = simulate_reads(
+        genome, read_len=50, coverage=12.5, error_rate=0.01, seed=502
+    )
+    single, s_stats = assemble(reads, CFG)
+    both, b_stats = assemble(
+        reads, replace(CFG, mesh_shape=(8,), max_device_reads=100)
+    )
+    assert s_stats == b_stats
+    for a, b in zip(single, both):
+        np.testing.assert_array_equal(a, b)
