@@ -202,10 +202,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     read_lengths = None
     if args.length_policy == "pad":
         if getattr(args, "paired", False):
-            ap.error("--paired with --length-policy pad is not supported yet")
-        from sage2_tpu.io.fastq import load_reads_ragged
+            from sage2_tpu.io.fastq import load_read_pairs_ragged
 
-        reads, read_lengths = load_reads_ragged(args.reads)
+            reads, read_lengths, mate_of = load_read_pairs_ragged(
+                args.reads
+            )
+        else:
+            from sage2_tpu.io.fastq import load_reads_ragged
+
+            reads, read_lengths = load_reads_ragged(args.reads)
         if reads.size and (read_lengths == read_lengths[0]).all():
             read_lengths = None        # uniform after all: fixed path
     elif getattr(args, "paired", False):

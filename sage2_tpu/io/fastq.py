@@ -198,3 +198,50 @@ def load_read_pairs(
     )
     mate_of = np.concatenate(mates) if mates else np.zeros(0, np.int64)
     return reads, mate_of
+
+
+def load_read_pairs_ragged(paths: Sequence[str]):
+    """Paired loading with every read kept at its own length
+    (--paired --length-policy pad). Returns (reads (N, Lmax) 0-padded
+    int8, lengths (N,) int32, mate_of (N,)). Mate files must have equal
+    read counts per (R1, R2) pair; lengths may differ freely (real
+    post-trimming Illumina data is ragged AND paired)."""
+    if len(paths) % 2:
+        raise ValueError(
+            f"paired input needs an even number of files, got {len(paths)}"
+        )
+    blocks = []
+    lens_blocks = []
+    mates = []
+    base = 0
+    for j in range(0, len(paths), 2):
+        r1, l1 = load_reads_ragged(paths[j : j + 1])
+        r2, l2 = load_reads_ragged(paths[j + 1 : j + 2])
+        if r1.shape[0] != r2.shape[0]:
+            raise ValueError(
+                f"mate files {paths[j]} / {paths[j + 1]} have "
+                f"{r1.shape[0]} vs {r2.shape[0]} reads"
+            )
+        n = r1.shape[0]
+        blocks.extend([r1, r2])
+        lens_blocks.extend([l1, l2])
+        m = np.empty(2 * n, np.int64)
+        m[:n] = base + n + np.arange(n)
+        m[n:] = base + np.arange(n)
+        mates.append(m)
+        base += 2 * n
+    if not blocks:
+        return (np.zeros((0, 0), np.int8), np.zeros(0, np.int32),
+                np.zeros(0, np.int64))
+    Lmax = max(b.shape[1] for b in blocks)
+    padded = []
+    for b in blocks:
+        if b.shape[1] < Lmax:
+            b = np.concatenate(
+                [b, np.zeros((b.shape[0], Lmax - b.shape[1]), b.dtype)],
+                axis=1,
+            )
+        padded.append(b)
+    return (np.concatenate(padded, axis=0),
+            np.concatenate(lens_blocks).astype(np.int32),
+            np.concatenate(mates))

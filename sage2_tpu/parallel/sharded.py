@@ -248,35 +248,50 @@ def sharded_correct_reads(
     route_cap: int,
     query_cap: int,
     valid: jnp.ndarray | None = None,
+    lengths: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed spectrum correction: reads stay sharded; every count
     probe is a routed query against the hash-partitioned table.
 
     Semantics identical to kmer.correct_reads (same verdict rule and pass
     order) — tested for equality against the single-device path.
+    ``lengths``: ragged (0-padded) reads — windows past a read's end
+    neither count, vote, nor edit, matching the in-core ragged rule.
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     if valid is None:
         valid = jnp.ones(reads.shape[0], bool)
+    ragged = lengths is not None
+    P_ = reads.shape[1] - k + 1
+
+    in_specs = [P(axis, None), P(axis)]
+    if ragged:
+        in_specs.append(P(axis))
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P()),
     )
-    def run(reads_local, valid_local):
+    def run(reads_local, valid_local, *rest):
         r = reads_local
+        wvalid = None
+        if ragged:
+            lens_local = rest[0]
+            wvalid = jnp.arange(P_)[None, :] < (
+                lens_local[:, None] - (k - 1)
+            )
         any_overflow = jnp.zeros((), bool)
         for _ in range(rounds):
             hi, lo = bitpack.canonical_kmer_keys(r, k)
-            kvalid = jnp.broadcast_to(
-                valid_local[:, None], hi.shape
-            ).reshape(-1)
+            kvalid = jnp.broadcast_to(valid_local[:, None], hi.shape)
+            if wvalid is not None:
+                kvalid = kvalid & wvalid
             table, ovf = _local_count_owned(
                 axis, hi.reshape(-1), lo.reshape(-1),
-                kvalid, k, route_cap, ndev,
+                kvalid.reshape(-1), k, route_cap, ndev,
             )
             any_overflow |= ovf
             for which in ("last", "first"):
@@ -291,10 +306,12 @@ def sharded_correct_reads(
                 )
                 any_overflow |= ovf
                 counts4 = jnp.moveaxis(counts, 0, -1)
-                r = apply_verdicts(r, counts4, cur, off, threshold)
+                r = apply_verdicts(r, counts4, cur, off, threshold,
+                                   window_valid=wvalid)
         return r, any_overflow
 
-    return run(reads, valid)
+    args = (reads, valid) + ((lengths,) if ragged else ())
+    return run(*args)
 
 
 # --------------------------------------------------------------------------
@@ -333,6 +350,20 @@ def partition_edges_by_src(
     return o_src, o_dst, o_ovl, v_d
 
 
+def partition_vertex_range(values, n_vertices: int, ndev: int):
+    """HOST-side partition of a (V,) per-vertex array into range shards
+    (ndev, v_d) — device d owns vertices [d*v_d, (d+1)*v_d)."""
+    import numpy as np
+
+    values = np.asarray(values)
+    v_d = -(-n_vertices // ndev)
+    out = np.zeros((ndev, v_d), values.dtype)
+    for d in range(ndev):
+        seg = values[d * v_d : (d + 1) * v_d]
+        out[d, : seg.shape[0]] = seg
+    return out
+
+
 def sharded_transitive_reduction(
     mesh: Mesh,
     src_sh: jnp.ndarray,
@@ -342,6 +373,7 @@ def sharded_transitive_reduction(
     read_len: int,
     req_cap: int,
     cand_cap: int,
+    lengths_sh: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Distributed Myers transitive reduction — NO edge-list replication
@@ -364,6 +396,12 @@ def sharded_transitive_reduction(
     O(E/ndev + capacities). Returns per-device shards
     (src, dst, ovl) of shape (ndev, E_d), sorted with padding at the
     end, plus replicated (n_edges, n_expansions, overflow).
+
+    ``lengths_sh``: ragged reads — (ndev, v_d) per-vertex lengths
+    range-partitioned like the edges (partition_vertex_range); the edge
+    offset becomes sl = len(src) - overlap. Both uses of a length (the
+    adjacency offsets and the membership probe at owner(v)) are LOCAL to
+    the vertex's owner, so no extra routing is needed.
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
@@ -371,16 +409,21 @@ def sharded_transitive_reduction(
     V = n_vertices
     v_d = -(-V // ndev)
     u = lambda x: x.astype(jnp.uint32)
+    ragged = lengths_sh is not None
+
+    in_specs = [P(axis, None), P(axis, None), P(axis, None)]
+    if ragged:
+        in_specs.append(P(axis, None))
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P(axis, None), P(axis, None),
                    P(), P(), P()),
         check_vma=False,
     )
-    def run(src_2d, dst_2d, ovl_2d):
+    def run(src_2d, dst_2d, ovl_2d, *rest):
         src_l = src_2d.reshape(-1)
         dst_l = dst_2d.reshape(-1)
         ovl_l = ovl_2d.reshape(-1)
@@ -388,7 +431,12 @@ def sharded_transitive_reduction(
         vbase = dev * v_d
 
         is_edge = src_l != _I32_MAX
-        sl_l = jnp.where(is_edge, read_len - ovl_l, _I32_MAX)
+        if ragged:
+            lens_l = rest[0].reshape(-1)
+            src_len = lens_l[jnp.clip(src_l - vbase, 0, v_d - 1)]
+        else:
+            src_len = read_len
+        sl_l = jnp.where(is_edge, src_len - ovl_l, _I32_MAX)
 
         # local adjacency sorted by (src, sl) + local per-vertex maxsl
         ss_src, ss_sl, ss_dst = sort_by_keys([src_l, sl_l], [dst_l])
@@ -446,8 +494,12 @@ def sharded_transitive_reduction(
             u(src_l), u(dst_l), u(pv), u(px), side="left"
         )
         pos_c = jnp.minimum(pos, e_l - 1)
+        if ragged:
+            probe_len = lens_l[jnp.clip(pv - vbase, 0, v_d - 1)]
+        else:
+            probe_len = read_len
         hit = c_ok & (src_l[pos_c] == pv) & (dst_l[pos_c] == px) & (
-            read_len - ovl_l[pos_c] == psls
+            probe_len - ovl_l[pos_c] == psls
         )
         removed = (
             jnp.zeros(e_l, bool)
@@ -470,7 +522,10 @@ def sharded_transitive_reduction(
             n_edges, n_expansions, overflow,
         )
 
-    return run(src_sh, dst_sh, ovl_sh)
+    args = (src_sh, dst_sh, ovl_sh) + (
+        (lengths_sh,) if ragged else ()
+    )
+    return run(*args)
 
 
 # --------------------------------------------------------------------------
@@ -746,7 +801,8 @@ def sharded_find_overlaps(
     row_cap: int,
     join_cap: int,
     edge_cap: int | None = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    lengths: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, ...]:
     """Distributed fused-join overlap detection — NO per-device global
     replication (round 2; replaces the round-1 all_gathered table/slab).
 
@@ -766,7 +822,11 @@ def sharded_find_overlaps(
     in read range d, internally (src, dst)-sorted with INT32_MAX
     padding, so the host-side concatenation of the trimmed slices is the
     globally sorted edge list, bit-identical to detect.find_overlaps —
-    plus replicated (n_edges, overflow).
+    plus replicated (n_edges, overflow). With ``lengths`` (ragged reads,
+    (M,) per-row lengths) a replicated (M,) ``contained`` bool is
+    appended: vertices verified as fully contained in a longer read
+    (OR-reduced across hash owners; M bits per device — the one
+    deliberately O(M) array, it is a bitmask, not row data).
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
@@ -777,6 +837,7 @@ def sharded_find_overlaps(
     if M % ndev:
         raise ValueError(f"reads ({M}) must divide the mesh size ({ndev})")
     m_local = M // ndev
+    ragged = lengths is not None
 
     from sage2_tpu.overlap.detect import (
         _reduce_fused,
@@ -789,22 +850,29 @@ def sharded_find_overlaps(
     g, n_pos, R, pa, Wp = geo
     if M * R >= 1 << 31:
         raise ValueError(f"global seed rows {M * R} overflow 31-bit ids")
-    n_recv = ndev * row_cap
+
+    in_specs = [P(axis, None), P(axis)]
+    out_specs = [P(axis, None), P(axis, None), P(axis, None), P(), P()]
+    if ragged:
+        in_specs.append(P(axis))
+        out_specs.append(P())
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis)),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P()),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
         check_vma=False,
     )
-    def run(reads_local, valid_local):
+    def run(reads_local, valid_local, *rest):
         dev = jax.lax.axis_index(axis)
         base = dev * m_local
+        lens_local = rest[0] if ragged else None
 
         # --- local seed rows, globally numbered -------------------------
         h, packed, payload = build_seed_rows(
-            reads_local, valid_local, s, geo, id_base=base
+            reads_local, valid_local, s, geo, id_base=base,
+            lengths=lens_local,
         )
         n_l = m_local * R
         rows = jnp.concatenate(
@@ -818,11 +886,9 @@ def sharded_find_overlaps(
         )
 
         # --- fused join on the received rows ----------------------------
-        # (fixed-length reads only on the sharded path; ok_cont is
-        # structurally empty and dropped)
         rh = jnp.where(recv_valid, recv[:, 0], _U32_MAX)
         rp = recv[:, 1]
-        ok, _ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
+        ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
             rh, rp, recv[:, 2:], R, g, L, pa, Wp, join_cap, min_overlap,
         )
         ovf_join = total > join_cap
@@ -849,12 +915,23 @@ def sharded_find_overlaps(
             (ovf_rows | ovf_join | ovf_er | ovf_edges).astype(jnp.int32),
             axis,
         ) > 0
-        return (
+        outs = [
             f_src[None, :edge_cap], f_dst[None, :edge_cap],
             f_ovl[None, :edge_cap], n_edges, overflow,
-        )
+        ]
+        if ragged:
+            # containment marks: each hash owner flags the cand_b of its
+            # verified containments; OR across owners via psum
+            cont_l = (
+                jnp.zeros(M + 1, jnp.int32)
+                .at[jnp.where(ok_cont, cand_b, M)]
+                .set(1, mode="drop")[:M]
+            )
+            outs.append(jax.lax.psum(cont_l, axis) > 0)
+        return tuple(outs)
 
-    return run(reads2, valid2)
+    args = (reads2, valid2) + ((lengths,) if ragged else ())
+    return run(*args)
 
 
 def gather_edge_shards(

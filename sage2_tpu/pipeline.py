@@ -161,9 +161,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         log.log("streaming", chunk_reads=stream_chunk, n_reads=N,
                 meshed=mesh is not None)
 
-    if lengths is not None and (mesh is not None or stream_chunk):
+    if lengths is not None and stream_chunk:
         raise NotImplementedError(
-            "ragged reads are single-device in-core only this round"
+            "ragged reads are in-core only this round (single-device or"
+            " meshed); streaming ragged inputs is not wired yet"
         )
     lengths_dev = None if lengths is None else jnp.asarray(
         np.asarray(lengths, np.int32)
@@ -208,6 +209,11 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             nd = mesh.devices.size
             padded = _pad_rows(reads.astype(np.int32), nd)
             pvalid = np.arange(padded.shape[0]) < N
+            lens_pad = None
+            if lengths is not None:
+                lens_pad = jnp.asarray(_pad_rows(
+                    np.asarray(lengths, np.int32).reshape(-1, 1), nd
+                ).reshape(-1))
             cap = max(4096, 4 * padded.shape[0] * (L - config.k + 1) // nd)
             with log.timed("correct", rounds=config.correction_rounds,
                            sharded=True):
@@ -216,6 +222,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     config.solid_threshold, config.correction_rounds,
                     route_cap=cap, query_cap=cap,
                     valid=jnp.asarray(pvalid),
+                    lengths=lens_pad,
                 )
                 corrected.block_until_ready()
             assert not bool(ovf), "sharded correction routing overflow"
@@ -400,6 +407,11 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             valid2 = jnp.concatenate(
                 [rs.valid2, jnp.zeros((padm,), bool)]
             ) if padm else rs.valid2
+            lengths2 = None
+            if rs.lengths2 is not None:
+                lengths2 = jnp.concatenate(
+                    [rs.lengths2, jnp.zeros((padm,), jnp.int32)]
+                ) if padm else rs.lengths2
             Mp = M2 + padm
             geo = join_geometry(
                 L, config.min_overlap, config.effective_seed_len
@@ -411,12 +423,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             edge_cap = join_cap
             while True:
                 with log.timed("overlap", sharded=True):
-                    (src_sh, dst_sh, ovl_sh, n_edges,
-                     ovf) = sharded_find_overlaps(
+                    out = sharded_find_overlaps(
                         mesh, reads2, valid2, config.min_overlap,
                         config.effective_seed_len, row_cap=row_cap,
                         join_cap=join_cap, edge_cap=edge_cap,
+                        lengths=lengths2,
                     )
+                    src_sh, dst_sh, ovl_sh, n_edges, ovf = out[:5]
                     src_sh.block_until_ready()
                 if not bool(ovf):
                     break
@@ -443,8 +456,40 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             )
             edges = (
                 gather_edge_shards(src_sh, dst_sh, ovl_sh, n_edges)
-                if outdir else None
+                if (outdir or lengths is not None) else None
             )
+            if lengths is not None:
+                # SAGE containment removal (ragged): contained vertices
+                # (either orientation) leave the graph with their edges.
+                # The edge set changes on host, so the device-shard
+                # chaining is dropped for this run (reduce re-partitions)
+                cont = np.asarray(out[5])[:M2]
+                capn = M2 // 2
+                cont = cont | np.roll(cont, capn)
+                n_cont = int(cont.sum())
+                log.log("containment", n_contained=n_cont)
+                if n_cont:
+                    e_src, e_dst, e_ovl = edges
+                    real = e_src != 2**31 - 1
+                    drop = real.copy()
+                    drop[real] = (cont[e_src[real]] | cont[e_dst[real]])
+                    keepm = real & ~drop
+                    nkeep = int(keepm.sum())
+                    pad_to = e_src.shape[0]
+                    ns = np.full(pad_to, 2**31 - 1, np.int32)
+                    nd2 = np.full(pad_to, 2**31 - 1, np.int32)
+                    no = np.zeros(pad_to, np.int32)
+                    ns[:nkeep] = e_src[keepm]
+                    nd2[:nkeep] = e_dst[keepm]
+                    no[:nkeep] = e_ovl[keepm]
+                    edges = (ns, nd2, no)
+                    n_edges_i = nkeep
+                    edges_dev = None
+                    valid2_cont = np.asarray(rs.valid2) & ~cont
+                else:
+                    valid2_cont = None
+            else:
+                valid2_cont = None
         else:
             with log.timed("overlap"):
                 res = find_overlaps_auto(
@@ -546,6 +591,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     jnp.asarray(s_np), jnp.asarray(d_np), jnp.asarray(o_np)
                 )
                 n_edges_glob = int(np.sum(s_np != 2**31 - 1))
+            lens_sh = None
+            if not isinstance(vlen_arg, int):
+                from sage2_tpu.parallel.sharded import (
+                    partition_vertex_range,
+                )
+
+                lens_sh = jnp.asarray(partition_vertex_range(
+                    np.asarray(vlen_arg, np.int32), V, nd
+                ))
             cap = config.reduce_capacity
             reqc = max(4096, 2 * s_sh.shape[1] // nd)
             while True:
@@ -556,6 +610,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                         mesh, s_sh, d_sh, o_sh, V, L,
                         req_cap=reqc,
                         cand_cap=cap_dev,
+                        lengths_sh=lens_sh,
                     )
                     r_src.block_until_ready()
                 if not bool(r_ovf):

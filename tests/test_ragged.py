@@ -121,3 +121,62 @@ def test_ragged_reduction_matches_oracle():
         if int(a) != 2**31 - 1:
             got[(int(a), int(b))] = int(o)
     assert got == want
+
+
+def test_ragged_meshed_matches_single_device():
+    """Ragged reads over the mesh (round-3: sharded overlap carries
+    per-row lengths; containment psum; reduction with per-vertex
+    lengths) == the single-device ragged path, bit for bit."""
+    from dataclasses import replace
+
+    genome = simulate_genome(3000, seed=21)
+    reads, lens = _ragged_reads(genome, 700, 50, 80, seed=22)
+    cfg = AssemblyConfig(k=15, min_overlap=30, min_contig_len=150)
+    single, s_stats = assemble(reads, cfg, lengths=lens)
+    meshed, m_stats = assemble(
+        reads, replace(cfg, mesh_shape=(8,)), lengths=lens
+    )
+    assert s_stats == m_stats
+    for a, b in zip(single, meshed):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_paired_ragged_cli_assembles(tmp_path):
+    """--paired --length-policy pad: ragged AND paired input assembles
+    with mate pairs surviving into scaffolding (round-2 verdict #6)."""
+    from sage2_tpu.cli import main as cli_main
+    from sage2_tpu.data import simulate_genome as sg, simulate_read_pairs
+    from sage2_tpu.ops.bitpack import decode_to_ascii
+
+    genome = sg(4000, seed=31)
+    reads, mate_of, _ = simulate_read_pairs(
+        genome, read_len=70, coverage=25, insert_mean=250, insert_sd=15,
+        error_rate=0.0, seed=32,
+    )
+    # make it genuinely ragged: trim a random suffix off some reads
+    rng = np.random.default_rng(33)
+    n = reads.shape[0]
+    lens = np.full(n, 70, np.int32)
+    cut = rng.random(n) < 0.3
+    lens[cut] = rng.integers(55, 70, int(cut.sum()))
+    r1 = tmp_path / "reads_R1.fastq"
+    r2 = tmp_path / "reads_R2.fastq"
+    half = n // 2
+    for path, idx in ((r1, range(half)), (r2, range(half, n))):
+        with open(path, "w") as f:
+            for i in idx:
+                s = decode_to_ascii(reads[i, : lens[i]]).tobytes().decode()
+                f.write(f"@r{i}\n{s}\n+\n{'I' * lens[i]}\n")
+    out = tmp_path / "out"
+    rc = cli_main([
+        "assemble", "-o", str(out), "--k", "15", "--min-overlap", "30",
+        "--min-contig-len", "200", "--length-policy", "pad", "--paired",
+        "--platform", "cpu",
+        str(r1), str(r2),
+    ])
+    assert rc == 0
+    import json
+
+    stats = json.loads((out / "stats.json").read_text())
+    assert stats["total_bases"] > 3500
+    assert "n_scaffolds" in stats
