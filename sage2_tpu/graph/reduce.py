@@ -271,7 +271,11 @@ def transitive_reduction_chunked(
     else:
         probe_len_all = lens[jnp.clip(src, 0, V - 1)]
 
-    removed_np = np.zeros(E, bool)
+    # removal marks accumulate ON DEVICE: a per-chunk (E,) readback cost
+    # ~5 GB of relay transfers at E. coli scale (58 chunks x 84.5 MB) and
+    # dominated the round-3 e2e reduce stage; one readback at the end
+    removed_dev = jnp.zeros(E, bool)
+    totals = []
     kernel = _chunk_kernel(E, e_c, chunk_cap, fixed)
     for i in range(0, E, e_c):
         c_slice = slice(i, i + e_c)
@@ -291,12 +295,16 @@ def transitive_reduction_chunked(
             jnp.zeros((), jnp.int32) if fixed is not None
             else padded(probe_len_all, 0)
         )
-        removed, tot = kernel(
-            c_src, c_dst, c_sl, c_counts, c_plen,
+        removed_dev, tot = kernel(
+            removed_dev, c_src, c_dst, c_sl, c_counts, c_plen,
             src, dst, ovl, ss_sl, ss_dst, start,
         )
+        totals.append(tot)
+    # ONE batched capacity validation after the loop (per-chunk scalar
+    # readbacks would serialize the pipeline on the relay round trip)
+    for tot in totals:
         assert int(tot) <= chunk_cap
-        removed_np |= np.asarray(removed)
+    removed_np = np.asarray(removed_dev)
 
     keep = (np.asarray(src) != 2**31 - 1) & ~removed_np
     o_src = np.where(keep, np.asarray(src), 2**31 - 1).astype(np.int32)
@@ -313,8 +321,8 @@ def transitive_reduction_chunked(
 
 @functools.lru_cache(maxsize=8)
 def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len):
-    @jax.jit
-    def run(c_src, c_dst, c_sl, c_counts, c_plen,
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(removed_acc, c_src, c_dst, c_sl, c_counts, c_plen,
             src, dst, ovl, ss_sl, ss_dst, start):
         V = start.shape[0]
         u = lambda x: x.astype(jnp.uint32)
@@ -334,7 +342,7 @@ def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len):
             plen - ovl[pos_c] == sls
         )
         removed = (
-            jnp.zeros(E, bool)
+            removed_acc
             .at[jnp.where(hit, pos_c, E)]
             .set(True, mode="drop")
         )

@@ -161,10 +161,10 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         log.log("streaming", chunk_reads=stream_chunk, n_reads=N,
                 meshed=mesh is not None)
 
-    if lengths is not None and stream_chunk:
+    if lengths is not None and stream_chunk and mesh is not None:
         raise NotImplementedError(
-            "ragged reads are in-core only this round (single-device or"
-            " meshed); streaming ragged inputs is not wired yet"
+            "ragged + streaming + mesh (all three at once) is not wired"
+            " yet; ragged composes with either one alone"
         )
     lengths_dev = None if lengths is None else jnp.asarray(
         np.asarray(lengths, np.int32)
@@ -236,6 +236,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     reads, config.k, config.solid_threshold,
                     config.correction_rounds, chunk_reads=stream_chunk,
                     rule=config.correction_rule,
+                    lengths=lengths,
                 )
         else:
             r = jnp.asarray(reads.astype(np.int32))
@@ -267,7 +268,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
 
             # host-side dedup (device holds one chunk's packs at a time)
             with log.timed("dedup", streamed=True):
-                reads2_np, valid2_np, mult_np, n_uniq, vread_np = (
+                reads2_np, valid2_np, mult_np, n_uniq, vread_np, _l2 = (
                     prepare_reads_chunked(corrected_np, stream_chunk)
                 )
             nd = mesh.devices.size
@@ -337,12 +338,14 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         elif stream_chunk is not None:
             from sage2_tpu.stream import (
                 find_overlaps_chunked,
+                find_overlaps_chunked_ragged,
                 prepare_reads_chunked,
             )
 
             with log.timed("dedup", streamed=True):
-                reads2_np, valid2_np, mult_np, n_uniq, vread_np = (
-                    prepare_reads_chunked(corrected_np, stream_chunk)
+                (reads2_np, valid2_np, mult_np, n_uniq, vread_np,
+                 lengths2_stream) = prepare_reads_chunked(
+                    corrected_np, stream_chunk, lengths=lengths
                 )
             # ~19 edges/vertex at 50x coverage -> up to ~32/read chunk
             # candidates; starting at 64x avoids two doubling retries
@@ -351,18 +354,43 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             while True:
                 with log.timed("overlap", streamed=True,
                                chunk_reads=stream_chunk):
-                    e_src, e_dst, e_ovl, n_edges_i, ovf = (
-                        find_overlaps_chunked(
-                            reads2_np, valid2_np, config.min_overlap,
+                    if lengths is not None:
+                        (e_src, e_dst, e_ovl, n_edges_i, cont,
+                         ovf) = find_overlaps_chunked_ragged(
+                            reads2_np, valid2_np, lengths2_stream,
+                            config.min_overlap,
                             chunk_reads=2 * stream_chunk,
                             seed_len=config.effective_seed_len,
                             capacity_per_chunk=cap_chunk,
                         )
-                    )
+                    else:
+                        e_src, e_dst, e_ovl, n_edges_i, ovf = (
+                            find_overlaps_chunked(
+                                reads2_np, valid2_np, config.min_overlap,
+                                chunk_reads=2 * stream_chunk,
+                                seed_len=config.effective_seed_len,
+                                capacity_per_chunk=cap_chunk,
+                            )
+                        )
                 if not ovf:
                     break
                 cap_chunk *= 2
                 log.log("overlap_retry", capacity_per_chunk=cap_chunk)
+            if lengths is not None:
+                # SAGE containment removal (ragged, streamed): contained
+                # vertices (either orientation) leave with their edges
+                capn = reads2_np.shape[0] // 2
+                cont = cont | np.roll(cont, capn)
+                n_cont = int(cont.sum())
+                log.log("containment", n_contained=n_cont)
+                if n_cont:
+                    keepm = ~(cont[e_src[:n_edges_i]]
+                              | cont[e_dst[:n_edges_i]])
+                    e_src = e_src[:n_edges_i][keepm]
+                    e_dst = e_dst[:n_edges_i][keepm]
+                    e_ovl = e_ovl[:n_edges_i][keepm]
+                    n_edges_i = int(keepm.sum())
+                    valid2_np = valid2_np & ~cont
             # pad to a fixed-capacity sorted edge list (downstream format)
             pad_to = max(1, -(-n_edges_i // (1 << 14)) * (1 << 14))
             edges = tuple(
@@ -377,6 +405,8 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             log.log("overlap_result", n_edges=n_edges_i,
                     n_candidates=n_cand_i, n_unique_reads=n_uniq)
             extra = {}
+            if lengths2_stream is not None:
+                extra["lengths2"] = lengths2_stream
             if mate_of is not None:
                 mate_pairs_np = _mate_pairs(vread_np, mate_of)
                 extra["mate_pairs"] = mate_pairs_np
@@ -554,10 +584,12 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                       ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
                       valid2=valid2_np, multiplicity=mult_np, **extra)
                 _manifest(outdir, config, "overlap")
-        lengths2_np = (
-            None if rs is None or rs.lengths2 is None
-            else np.asarray(rs.lengths2)
-        )
+        if rs is not None and rs.lengths2 is not None:
+            lengths2_np = np.asarray(rs.lengths2)
+        elif stream_chunk is not None and mesh is None and lengths is not None:
+            lengths2_np = lengths2_stream
+        else:
+            lengths2_np = None
     else:
         z = np.load(os.path.join(outdir, "edges.npz"))
         edges = (z["src"], z["dst"], z["ovl"])

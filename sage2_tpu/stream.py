@@ -9,6 +9,7 @@ the spill mechanism between stages.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional, Tuple
 
@@ -49,11 +50,13 @@ def _merge_tables(tables: List[KmerTable], k: int) -> KmerTable:
 
 
 def count_kmers_chunked(
-    reads: np.ndarray, k: int, chunk_reads: int
+    reads: np.ndarray, k: int, chunk_reads: int,
+    lengths: Optional[np.ndarray] = None,
 ) -> KmerTable:
     """Exact canonical k-mer counting over host-resident reads, streamed
     to the device in chunks of ``chunk_reads``. Device memory is bounded
-    by one chunk plus the (unique-key) merged table."""
+    by one chunk plus the (unique-key) merged table. ``lengths``: ragged
+    (0-padded) reads — windows past a read's end are masked out."""
     N = reads.shape[0]
     table: Optional[KmerTable] = None
     for i in range(0, N, chunk_reads):
@@ -67,9 +70,18 @@ def count_kmers_chunked(
         chunk = jnp.asarray(raw.astype(np.int32))
         hi, lo = bitpack.canonical_kmer_keys(chunk, k)
         valid = None
-        if pad:
+        if pad or lengths is not None:
             P = hi.shape[1]
-            valid = jnp.repeat(jnp.arange(chunk.shape[0]) < nc, P)
+            rowmask = jnp.arange(chunk.shape[0]) < nc
+            if lengths is not None:
+                lens_c = np.zeros(chunk.shape[0], np.int32)
+                lens_c[:nc] = lengths[i : i + chunk_reads]
+                wmask = jnp.arange(P)[None, :] < (
+                    jnp.asarray(lens_c)[:, None] - (k - 1)
+                )
+                valid = (rowmask[:, None] & wmask).reshape(-1)
+            else:
+                valid = jnp.repeat(rowmask, P)
         part = count_from_keys(hi.reshape(-1), lo.reshape(-1), k,
                                valid=valid)
         part = _compact(part)
@@ -227,9 +239,172 @@ def find_overlaps_chunked(
     return src, dst, ovl, n_edges_total, overflow
 
 
+def _revcomp_ragged_np(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Numpy ragged reverse complement (padding stays 0 at the end)."""
+    L = rows.shape[1]
+    j = np.arange(L)[None, :]
+    real = j < lens[:, None]
+    idx = np.where(real, lens[:, None] - 1 - j, j)
+    vals = np.take_along_axis(rows, idx, axis=1)
+    return np.where(real, 3 - vals, 0).astype(rows.dtype)
+
+
+def find_overlaps_chunked_ragged(
+    reads2: np.ndarray,
+    valid2: np.ndarray,
+    lengths2: np.ndarray,
+    min_overlap: int,
+    chunk_reads: int,
+    seed_len: int = 32,
+    capacity_per_chunk: int = 1 << 20,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray, bool]:
+    """Streamed RAGGED overlap detection (fused-join formulation).
+
+    Phase A streams chunks and keeps only their globally-numbered ENTRY
+    seed rows on device (the distributed seed table — same residency
+    class as find_overlaps_chunked's table+slab); phase B streams chunks
+    again, running the fused join core over [all entries + the chunk's
+    query rows] and reducing per chunk (complete per chunk: all of a
+    read's query rows live in its own chunk). Containment marks
+    accumulate per chunk. Returns (src, dst, ovl, n_edges, contained,
+    overflow) as host arrays — bit-identical to detect.find_overlaps
+    with lengths (tested).
+    """
+    from sage2_tpu.overlap.detect import join_geometry
+
+    M, L = reads2.shape
+    s = min(seed_len, min_overlap, 32)
+    geo = join_geometry(L, min_overlap, s)
+    g, n_pos, R, pa, Wp = geo
+    if M * R >= 1 << 31:
+        raise ValueError(f"seed rows {M * R} overflow 31-bit row ids")
+
+    def chunk_rows(i):
+        raw = reads2[i : i + chunk_reads].astype(np.int32)
+        nc = raw.shape[0]
+        pad = chunk_reads - nc if M > chunk_reads else 0
+        if pad:
+            raw = np.concatenate([raw, np.zeros((pad, L), np.int32)])
+        cvalid = np.zeros(raw.shape[0], bool)
+        cvalid[:nc] = valid2[i : i + nc]
+        lens_c = np.zeros(raw.shape[0], np.int32)
+        lens_c[:nc] = lengths2[i : i + nc]
+        return (jnp.asarray(raw), jnp.asarray(cvalid),
+                jnp.asarray(lens_c))
+
+    ent_parts = []
+    for i in range(0, M, chunk_reads):
+        chunk, cvalid, lens_c = chunk_rows(i)
+        h, packed, payload = _ragged_entry_rows(
+            chunk, cvalid, lens_c, s, geo, i
+        )
+        m = chunk.shape[0]
+        ent_parts.append(jnp.concatenate(
+            [h[:, :g].reshape(m * g, 1),
+             packed[:, :g].reshape(m * g, 1),
+             payload[:, :g].reshape(m * g, Wp + 2)], axis=1,
+        ))
+        del chunk
+    entries = (jnp.concatenate(ent_parts) if len(ent_parts) > 1
+               else ent_parts[0])
+    del ent_parts
+
+    chunks_out = []
+    contained = np.zeros(M, bool)
+    n_edges_total = 0
+    overflow = False
+    for i in range(0, M, chunk_reads):
+        chunk, cvalid, lens_c = chunk_rows(i)
+        out = _ragged_query_join(
+            entries, chunk, cvalid, lens_c, s, geo, i,
+            capacity_per_chunk, min_overlap, M,
+        )
+        k_src, k_dst, k_ovl, n_keep_dev, cont_c, total = out
+        if int(total) > capacity_per_chunk:
+            overflow = True
+        n_keep = int(n_keep_dev)
+        n_edges_total += n_keep
+        chunks_out.append((
+            np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
+            np.asarray(k_ovl[:n_keep]),
+        ))
+        contained |= np.asarray(cont_c)
+        del chunk
+    src = np.concatenate([c[0] for c in chunks_out])
+    dst = np.concatenate([c[1] for c in chunks_out])
+    ovl = np.concatenate([c[2] for c in chunks_out])
+    return src, dst, ovl, n_edges_total, contained, overflow
+
+
+@functools.lru_cache(maxsize=8)
+def _ragged_entry_kernel(s: int, geo):
+    from sage2_tpu.overlap.detect import build_seed_rows
+
+    @jax.jit
+    def entry_rows(chunk, cvalid, lens_c, base):
+        return build_seed_rows(chunk, cvalid, s, geo, id_base=base,
+                               lengths=lens_c)
+
+    return entry_rows
+
+
+@functools.lru_cache(maxsize=8)
+def _ragged_join_kernel(s: int, geo, min_overlap: int, cap: int,
+                        m_total: int):
+    from sage2_tpu.overlap.detect import (
+        _reduce_fused,
+        build_seed_rows,
+        fused_join_core,
+    )
+
+    g, n_pos, R, pa, Wp = geo
+
+    @jax.jit
+    def query_join(entries, chunk, cvalid, lens_c, base):
+        L = chunk.shape[1]
+        h, packed, payload = build_seed_rows(
+            chunk, cvalid, s, geo, id_base=base, lengths=lens_c
+        )
+        m = chunk.shape[0]
+        h_q = h[:, g:].reshape(-1)
+        p_q = packed[:, g:].reshape(-1)
+        pay_q = payload[:, g:].reshape(m * n_pos, Wp + 2)
+        h_all = jnp.concatenate([entries[:, 0], h_q])
+        p_all = jnp.concatenate([entries[:, 1], p_q])
+        pay_all = jnp.concatenate([entries[:, 2:], pay_q], axis=0)
+        ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
+            h_all, p_all, pay_all, R, g, L, pa, Wp, cap, min_overlap,
+        )
+        cont = (
+            jnp.zeros(m_total + 1, bool)
+            .at[jnp.where(ok_cont, cand_b, m_total)]
+            .set(True, mode="drop")[:m_total]
+        )
+        k_src, k_dst, k_ovl, n_keep = _reduce_fused(
+            ok, cand_a, cand_b, ovl, L, m_total
+        )
+        return k_src, k_dst, k_ovl, n_keep, cont, total
+
+    return query_join
+
+
+def _ragged_entry_rows(chunk, cvalid, lens_c, s, geo, base):
+    return _ragged_entry_kernel(s, geo)(
+        chunk, cvalid, lens_c, jnp.uint32(base)
+    )
+
+
+def _ragged_query_join(entries, chunk, cvalid, lens_c, s, geo, base,
+                       cap, min_overlap, m_total):
+    return _ragged_join_kernel(s, geo, min_overlap, cap, m_total)(
+        entries, chunk, cvalid, lens_c, jnp.uint32(base)
+    )
+
+
 def prepare_reads_chunked(
-    reads: np.ndarray, chunk_reads: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    reads: np.ndarray, chunk_reads: int,
+    lengths: Optional[np.ndarray] = None,
+) -> Tuple:
     """Host-side read dedup + RC augmentation for larger-than-HBM sets.
 
     Bit-identical layout to overlap.prepare.prepare_reads (same
@@ -238,17 +413,32 @@ def prepare_reads_chunked(
     computed on device per chunk; the dedup sort runs on host, so device
     memory stays bounded by one chunk. Returns host arrays
     (reads2 int8 (2N, L), valid2, multiplicity, n_unique,
-    vertex_of_read).
+    vertex_of_read, lengths2) — lengths2 is None for fixed-length
+    inputs. With ``lengths`` (ragged, 0-padded) the length joins the
+    dedup key exactly as in prepare_reads (a read only collapses with an
+    equal-length read; containment is the overlap kernel's job).
     """
     from sage2_tpu.ops import bitpack
+    from sage2_tpu.overlap.prepare import revcomp_ragged
 
     N, L = reads.shape
     canon_w_parts = []
     take_rc_parts = []
     for i in range(0, N, chunk_reads):
-        chunk = jnp.asarray(reads[i : i + chunk_reads].astype(np.int32))
+        raw = reads[i : i + chunk_reads].astype(np.int32)
+        if lengths is not None:
+            # enforce zero padding so packed-word keys are well defined
+            lens_c = np.asarray(lengths[i : i + chunk_reads], np.int32)
+            raw = np.where(
+                np.arange(L)[None, :] < lens_c[:, None], raw, 0
+            )
+            chunk = jnp.asarray(raw)
+            rc = revcomp_ragged(chunk, jnp.asarray(lens_c))
+        else:
+            chunk = jnp.asarray(raw)
+            rc = bitpack.revcomp_codes(chunk)
         fwd_w = bitpack.pack_read_words(chunk)
-        rc_w = bitpack.pack_read_words(bitpack.revcomp_codes(chunk))
+        rc_w = bitpack.pack_read_words(rc)
         from sage2_tpu.ops.sort import words_less
 
         take_rc = words_less(rc_w, fwd_w)
@@ -260,11 +450,18 @@ def prepare_reads_chunked(
     take_rc = np.concatenate(take_rc_parts)
     W = canon_w.shape[1]
 
-    # stable host sort on the canonical words (major key first)
-    order = np.lexsort(tuple(canon_w[:, j] for j in range(W - 1, -1, -1)))
+    # stable host sort on the canonical words (major key first; length
+    # is the most-major key for ragged inputs, matching prepare_reads)
+    keys = tuple(canon_w[:, j] for j in range(W - 1, -1, -1))
+    if lengths is not None:
+        keys = keys + (np.asarray(lengths),)
+    order = np.lexsort(keys)
     s_keys = canon_w[order]
     neq = np.ones(N, bool)
     neq[1:] = (s_keys[1:] != s_keys[:-1]).any(axis=1)
+    if lengths is not None:
+        s_lens = np.asarray(lengths)[order]
+        neq[1:] |= s_lens[1:] != s_lens[:-1]
     group_id = np.cumsum(neq) - 1
     n_unique = int(group_id[-1] + 1)
 
@@ -275,20 +472,37 @@ def prepare_reads_chunked(
     gid_in[order] = group_id.astype(np.int32)
     vertex_of_read = gid_in + np.where(take_rc, N, 0).astype(np.int32)
 
-    uniq = reads[rep].astype(np.int8)
-    flip = take_rc[rep]
-    uniq[flip] = (3 - uniq[flip])[:, ::-1]
+    if lengths is not None:
+        base = np.where(
+            np.arange(L)[None, :] < np.asarray(lengths)[:, None],
+            reads, 0,
+        ).astype(np.int8)
+        uniq = base[rep]
+        lens_u = np.asarray(lengths, np.int32)[rep]
+        flip = take_rc[rep]
+        uniq[flip] = _revcomp_ragged_np(uniq[flip], lens_u[flip])
+        rc_u = _revcomp_ragged_np(uniq, lens_u)
+    else:
+        uniq = reads[rep].astype(np.int8)
+        flip = take_rc[rep]
+        uniq[flip] = (3 - uniq[flip])[:, ::-1]
+        rc_u = (3 - uniq)[:, ::-1]
 
     reads2 = np.zeros((2 * N, L), np.int8)
     reads2[:n_unique] = uniq
-    reads2[N : N + n_unique] = (3 - uniq)[:, ::-1]
+    reads2[N : N + n_unique] = rc_u
     valid2 = np.zeros(2 * N, bool)
     valid2[:n_unique] = True
     valid2[N : N + n_unique] = True
     mult2 = np.zeros(2 * N, np.int32)
     mult2[:n_unique] = mult
     mult2[N : N + n_unique] = mult
-    return reads2, valid2, mult2, n_unique, vertex_of_read
+    lengths2 = None
+    if lengths is not None:
+        lengths2 = np.zeros(2 * N, np.int32)
+        lengths2[:n_unique] = lens_u
+        lengths2[N : N + n_unique] = lens_u
+    return reads2, valid2, mult2, n_unique, vertex_of_read, lengths2
 
 
 def correct_reads_chunked(
@@ -298,6 +512,7 @@ def correct_reads_chunked(
     rounds: int,
     chunk_reads: int,
     rule: str = "single_window",
+    lengths: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Spectrum correction streamed in chunks.
 
@@ -306,12 +521,12 @@ def correct_reads_chunked(
     round's global table. (The in-core path recounts between the forward
     and backward sub-pass only at round boundaries too, and sub-pass
     verdicts depend only on the global table and the chunk's own rows,
-    so chunking is exact.)
+    so chunking is exact.) ``lengths``: ragged (0-padded) inputs.
     """
     out = np.array(reads, dtype=np.int8, copy=True)
     N = out.shape[0]
     for _ in range(rounds):
-        table = count_kmers_chunked(out, k, chunk_reads)
+        table = count_kmers_chunked(out, k, chunk_reads, lengths=lengths)
         for i in range(0, N, chunk_reads):
             raw = out[i : i + chunk_reads]
             nc = raw.shape[0]
@@ -325,8 +540,14 @@ def correct_reads_chunked(
                     [raw, np.repeat(raw[-1:], pad, axis=0)]
                 )
             chunk = jnp.asarray(raw.astype(np.int32))
+            lens_c = None
+            if lengths is not None:
+                lc = np.full(chunk.shape[0], raw.shape[1], np.int32)
+                lc[:nc] = lengths[i : i + chunk_reads]
+                lens_c = jnp.asarray(lc)
             corrected = correct_reads(
-                chunk, k, threshold, rounds=1, table=table, rule=rule
+                chunk, k, threshold, rounds=1, table=table, rule=rule,
+                lengths=lens_c,
             )
             out[i : i + chunk_reads] = np.asarray(
                 corrected, dtype=np.int8

@@ -180,3 +180,22 @@ def test_paired_ragged_cli_assembles(tmp_path):
     stats = json.loads((out / "stats.json").read_text())
     assert stats["total_bases"] > 3500
     assert "n_scaffolds" in stats
+
+
+def test_ragged_streamed_matches_single_device():
+    """Ragged reads through the streaming path (chunked count/correct
+    with window masks, ragged host dedup with length in the key, the
+    fused-join chunked overlap with per-row lengths + containment) ==
+    the in-core ragged path, bit for bit."""
+    from dataclasses import replace
+
+    genome = simulate_genome(3000, seed=21)
+    reads, lens = _ragged_reads(genome, 700, 50, 80, seed=22)
+    cfg = AssemblyConfig(k=15, min_overlap=30, min_contig_len=150)
+    single, s_stats = assemble(reads, cfg, lengths=lens)
+    streamed, t_stats = assemble(
+        reads, replace(cfg, max_device_reads=120), lengths=lens
+    )
+    assert s_stats == t_stats
+    for a, b in zip(single, streamed):
+        np.testing.assert_array_equal(a, b)

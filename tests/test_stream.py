@@ -117,7 +117,7 @@ def test_prepare_reads_chunked_matches_device():
         genome, read_len=50, coverage=20, error_rate=0.0, seed=92
     )
     rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
-    r2, v2, m2, n_u, vread = prepare_reads_chunked(reads.astype(np.int8), 37)
+    r2, v2, m2, n_u, vread, _l2 = prepare_reads_chunked(reads.astype(np.int8), 37)
     assert n_u == int(rs.n_unique)
     np.testing.assert_array_equal(v2, np.asarray(rs.valid2))
     np.testing.assert_array_equal(m2, np.asarray(rs.multiplicity))
