@@ -108,23 +108,31 @@ def _merge_sorted_local(run, part, table_cap: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _count_step(mesh: Mesh, k: int, route_cap: int, table_cap: int):
+def _count_step(mesh: Mesh, k: int, route_cap: int, table_cap: int,
+                ragged: bool = False):
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
+    in_specs = [P(axis, None), P(axis),
+                P(axis, None), P(axis, None), P(axis, None)]
+    if ragged:
+        in_specs.append(P(axis))
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis),
-                  P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P(axis, None), P(axis, None),
                    P(axis), P()),
     )
-    def step(chunk_local, valid_local, run_hi2, run_lo2, run_ct2):
+    def step(chunk_local, valid_local, run_hi2, run_lo2, run_ct2, *rest):
         hi, lo = bitpack.canonical_kmer_keys(chunk_local, k)
-        kvalid = jnp.broadcast_to(
-            valid_local[:, None], hi.shape
-        ).reshape(-1)
+        kvalid = jnp.broadcast_to(valid_local[:, None], hi.shape)
+        if ragged:
+            Pw = hi.shape[1]
+            kvalid = kvalid & (
+                jnp.arange(Pw)[None, :] < (rest[0][:, None] - (k - 1))
+            )
+        kvalid = kvalid.reshape(-1)
         fh = hi.reshape(-1)
         fl = lo.reshape(-1)
         routed = _route(
@@ -150,6 +158,13 @@ def _count_step(mesh: Mesh, k: int, route_cap: int, table_cap: int):
     return step
 
 
+def _chunk_lens(lengths, i: int, rows: int) -> jnp.ndarray:
+    lc = np.zeros(rows, np.int32)
+    seg = np.asarray(lengths[i : i + rows], np.int32)
+    lc[: seg.shape[0]] = seg
+    return jnp.asarray(lc)
+
+
 def sharded_count_kmers_chunked(
     mesh: Mesh,
     reads: np.ndarray,
@@ -157,16 +172,19 @@ def sharded_count_kmers_chunked(
     chunk_reads: int,
     route_cap: int,
     table_cap: int,
+    lengths: np.ndarray | None = None,
 ) -> Tuple[KmerTable, bool]:
     """Exact canonical counting of host-resident reads, streamed in
     chunks over the mesh. Returns the hash-partitioned sharded table
     ((ndev, table_cap) arrays, same layout as sharded_count_kmers) and
-    a host overflow flag."""
+    a host overflow flag. ``lengths``: ragged (0-padded) reads — windows
+    past a read's end are masked out."""
     ndev = mesh.devices.size
     N = reads.shape[0]
     rows = min(chunk_reads, N)
     rows += (-rows) % ndev
-    step = _count_step(mesh, k, route_cap, table_cap)
+    ragged = lengths is not None
+    step = _count_step(mesh, k, route_cap, table_cap, ragged)
     hi = jnp.full((ndev, table_cap), SENTINEL)
     lo = jnp.full((ndev, table_cap), SENTINEL)
     ct = jnp.zeros((ndev, table_cap), jnp.int32)
@@ -176,8 +194,9 @@ def sharded_count_kmers_chunked(
         chunk, valid = _pad_chunk(
             reads[i : i + rows].astype(np.int32), rows
         )
+        extra = (_chunk_lens(lengths, i, rows),) if ragged else ()
         hi, lo, ct, n_unique, ovf = step(
-            jnp.asarray(chunk), jnp.asarray(valid), hi, lo, ct
+            jnp.asarray(chunk), jnp.asarray(valid), hi, lo, ct, *extra
         )
         overflow = overflow or bool(ovf)
     return KmerTable(hi, lo, ct, n_unique, k), overflow
@@ -189,23 +208,33 @@ def sharded_count_kmers_chunked(
 
 
 @functools.lru_cache(maxsize=8)
-def _correct_step(mesh: Mesh, k: int, threshold: int, query_cap: int):
+def _correct_step(mesh: Mesh, k: int, threshold: int, query_cap: int,
+                  ragged: bool = False):
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
+    in_specs = [P(axis, None), P(axis),
+                P(axis, None), P(axis, None), P(axis, None), P(axis)]
+    if ragged:
+        in_specs.append(P(axis))
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis),
-                  P(axis, None), P(axis, None), P(axis, None), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None), P()),
     )
-    def step(chunk_local, valid_local, t_hi2, t_lo2, t_ct2, t_nu):
+    def step(chunk_local, valid_local, t_hi2, t_lo2, t_ct2, t_nu, *rest):
         table = KmerTable(
             t_hi2.reshape(-1), t_lo2.reshape(-1), t_ct2.reshape(-1),
             t_nu.reshape(()), k,
         )
         r = chunk_local
+        wvalid = None
+        if ragged:
+            Pw = r.shape[1] - k + 1
+            wvalid = jnp.arange(Pw)[None, :] < (
+                rest[0][:, None] - (k - 1)
+            )
         any_ovf = jnp.zeros((), bool)
         for which in ("last", "first"):
             if which == "last":
@@ -219,7 +248,8 @@ def _correct_step(mesh: Mesh, k: int, threshold: int, query_cap: int):
             )
             any_ovf |= ovf
             counts4 = jnp.moveaxis(counts, 0, -1)
-            r = apply_verdicts(r, counts4, cur, off, threshold)
+            r = apply_verdicts(r, counts4, cur, off, threshold,
+                               window_valid=wvalid)
         r = jnp.where(valid_local[:, None], r, chunk_local)
         return r, any_ovf
 
@@ -236,31 +266,36 @@ def sharded_correct_reads_chunked(
     route_cap: int,
     query_cap: int,
     table_cap: int,
+    lengths: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, bool]:
     """Streamed sharded correction: per round, the global sharded table
     is rebuilt by chunked routed counting, then every chunk passes the
     two single-window sub-passes with routed lookups. Bit-identical to
-    kmer.correct_reads / stream.correct_reads_chunked (tested)."""
+    kmer.correct_reads / stream.correct_reads_chunked (tested).
+    ``lengths``: ragged (0-padded) reads."""
     ndev = mesh.devices.size
     out = np.array(reads, dtype=np.int8, copy=True)
     N = out.shape[0]
     rows = min(chunk_reads, N)
     rows += (-rows) % ndev
-    step = _correct_step(mesh, k, threshold, query_cap)
+    ragged = lengths is not None
+    step = _correct_step(mesh, k, threshold, query_cap, ragged)
     overflow = False
     for _ in range(rounds):
         table, ovf = sharded_count_kmers_chunked(
-            mesh, out, k, chunk_reads, route_cap, table_cap
+            mesh, out, k, chunk_reads, route_cap, table_cap,
+            lengths=lengths,
         )
         overflow = overflow or ovf
         for i in range(0, N, rows):
             chunk, valid = _pad_chunk(
                 out[i : i + rows].astype(np.int32), rows
             )
+            extra = (_chunk_lens(lengths, i, rows),) if ragged else ()
             corrected, ovf = step(
                 jnp.asarray(chunk), jnp.asarray(valid),
                 table.hi, table.lo, table.count,
-                table.n_unique,
+                table.n_unique, *extra,
             )
             overflow = overflow or bool(ovf)
             nc = min(i + rows, N) - i
@@ -275,7 +310,7 @@ def sharded_correct_reads_chunked(
 
 @functools.lru_cache(maxsize=8)
 def _entry_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
-                rows_local: int, row_cap: int):
+                rows_local: int, row_cap: int, ragged: bool = False):
     from sage2_tpu.overlap.detect import build_seed_rows, join_geometry
 
     axis = mesh.axis_names[0]
@@ -283,19 +318,23 @@ def _entry_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
     s = min(seed_len, min_overlap, 32)
     geo = join_geometry(L, min_overlap, s)
     g, n_pos, R, pa, Wp = geo
+    in_specs = [P(axis, None), P(axis), P()]
+    if ragged:
+        in_specs.append(P(axis))
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis, None, None), P()),
         check_vma=False,
     )
-    def step(chunk_local, valid_local, base):
+    def step(chunk_local, valid_local, base, *rest):
         dev = jax.lax.axis_index(axis)
         id_base = base + (dev * rows_local).astype(jnp.uint32)
         h, packed, payload = build_seed_rows(
-            chunk_local, valid_local, s, geo, id_base=id_base
+            chunk_local, valid_local, s, geo, id_base=id_base,
+            lengths=rest[0] if ragged else None,
         )
         m = chunk_local.shape[0]
         rows = jnp.concatenate(
@@ -321,7 +360,8 @@ def _entry_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
 @functools.lru_cache(maxsize=8)
 def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
                 rows_local: int, q_cap: int, join_cap: int,
-                edge_chunk_cap: int, v_d: int, m_total: int):
+                edge_chunk_cap: int, v_d: int, m_total: int,
+                ragged: bool = False):
     from sage2_tpu.overlap.detect import (
         _reduce_fused,
         build_seed_rows,
@@ -334,19 +374,25 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
     s = min(seed_len, min_overlap, 32)
     geo = join_geometry(L, min_overlap, s)
     g, n_pos, R, pa, Wp = geo
+    in_specs = [P(axis, None, None), P(axis, None), P(axis), P()]
+    out_specs = [P(axis, None, None), P()]
+    if ragged:
+        in_specs.append(P(axis))
+        out_specs.append(P())
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None), P(axis), P()),
-        out_specs=(P(axis, None, None), P()),
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
         check_vma=False,
     )
-    def step(entries, chunk_local, valid_local, base):
+    def step(entries, chunk_local, valid_local, base, *rest):
         dev = jax.lax.axis_index(axis)
         id_base = base + (dev * rows_local).astype(jnp.uint32)
         h, packed, payload = build_seed_rows(
-            chunk_local, valid_local, s, geo, id_base=id_base
+            chunk_local, valid_local, s, geo, id_base=id_base,
+            lengths=rest[0] if ragged else None,
         )
         m = chunk_local.shape[0]
         q_rows = jnp.concatenate(
@@ -365,7 +411,7 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
         ])
         p_all = jnp.concatenate([ent[:, 1], recv_q[:, 1]])
         pay_all = jnp.concatenate([ent[:, 2:], recv_q[:, 2:]], axis=0)
-        ok, _okc, cand_a, cand_b, ovl, total = fused_join_core(
+        ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
             h_all, p_all, pay_all, R, g, L, pa, Wp, join_cap, min_overlap,
         )
         ovf_join = total > join_cap
@@ -385,7 +431,15 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
         overflow = jax.lax.psum(
             (ovf_q | ovf_join | ovf_e).astype(jnp.int32), axis
         ) > 0
-        return recv_e[None], overflow
+        outs = [recv_e[None], overflow]
+        if ragged:
+            cont_l = (
+                jnp.zeros(m_total + 1, jnp.int32)
+                .at[jnp.where(ok_cont, cand_b, m_total)]
+                .set(1, mode="drop")[:m_total]
+            )
+            outs.append(jax.lax.psum(cont_l, axis) > 0)
+        return tuple(outs)
 
     return step
 
@@ -432,7 +486,8 @@ def sharded_find_overlaps_chunked(
     join_cap: int,
     edge_chunk_cap: int,
     edge_cap: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int, bool]:
+    lengths: np.ndarray | None = None,
+) -> Tuple:
     """Streamed sharded overlap detection over host-resident reads.
 
     Returns (src_sh, dst_sh, ovl_sh, n_edges, overflow): per-device
@@ -441,7 +496,9 @@ def sharded_find_overlaps_chunked(
     into the sharded reduction. Device residency is bounded by the
     accumulated per-owner entry rows (O(global_rows / ndev) — the
     distributed seed table) plus ONE chunk's rows and capacities; reads
-    stream from host per chunk.
+    stream from host per chunk. With ``lengths`` (ragged, (M,) per-row)
+    a host (M,) ``contained`` bool is appended (verified containments,
+    OR-accumulated across chunks and hash owners).
     """
     from sage2_tpu.overlap.detect import join_geometry
 
@@ -455,21 +512,26 @@ def sharded_find_overlaps_chunked(
     rows = min(chunk_reads, M)
     rows += (-rows) % ndev
     rows_local = rows // ndev
+    ragged = lengths is not None
 
-    ent_step = _entry_step(mesh, min_overlap, seed_len, L, rows_local,
-                           row_cap)
-    overflow = False
-    ent_parts = []
-    for i in range(0, M, rows):
-        chunk, cvalid = _pad_chunk(reads2[i : i + rows].astype(np.int32),
-                                   rows)
+    def chunk_args(i):
+        chunk, cvalid = _pad_chunk(
+            reads2[i : i + rows].astype(np.int32), rows
+        )
         cvalid &= np.concatenate([
             np.asarray(valid2[i : i + rows]),
             np.zeros(rows - min(i + rows, M) + i, bool),
         ])
-        part, ovf = ent_step(
-            jnp.asarray(chunk), jnp.asarray(cvalid), jnp.uint32(i)
-        )
+        extra = (_chunk_lens(lengths, i, rows),) if ragged else ()
+        return (jnp.asarray(chunk), jnp.asarray(cvalid),
+                jnp.uint32(i)) + extra
+
+    ent_step = _entry_step(mesh, min_overlap, seed_len, L, rows_local,
+                           row_cap, ragged)
+    overflow = False
+    ent_parts = []
+    for i in range(0, M, rows):
+        part, ovf = ent_step(*chunk_args(i))
         overflow = overflow or bool(ovf)
         ent_parts.append(part)
     entries = (
@@ -479,20 +541,16 @@ def sharded_find_overlaps_chunked(
     del ent_parts
 
     q_step = _query_step(mesh, min_overlap, seed_len, L, rows_local,
-                         q_cap, join_cap, edge_chunk_cap, v_d, M)
+                         q_cap, join_cap, edge_chunk_cap, v_d, M, ragged)
     edge_parts = []
+    contained = np.zeros(M, bool) if ragged else None
     for i in range(0, M, rows):
-        chunk, cvalid = _pad_chunk(reads2[i : i + rows].astype(np.int32),
-                                   rows)
-        cvalid &= np.concatenate([
-            np.asarray(valid2[i : i + rows]),
-            np.zeros(rows - min(i + rows, M) + i, bool),
-        ])
-        part, ovf = q_step(
-            entries, jnp.asarray(chunk), jnp.asarray(cvalid),
-            jnp.uint32(i),
-        )
+        args = chunk_args(i)
+        out = q_step(entries, *args)
+        part, ovf = out[0], out[1]
         overflow = overflow or bool(ovf)
+        if ragged:
+            contained |= np.asarray(out[2])
         edge_parts.append(part)
     edges3 = (
         jnp.concatenate(edge_parts, axis=1) if len(edge_parts) > 1
@@ -503,4 +561,5 @@ def sharded_find_overlaps_chunked(
     m_step = _merge_edges_step(mesh, L, M, edge_cap)
     src_sh, dst_sh, ovl_sh, n_edges, ovf = m_step(edges3)
     overflow = overflow or bool(ovf)
-    return src_sh, dst_sh, ovl_sh, int(n_edges), overflow
+    base = (src_sh, dst_sh, ovl_sh, int(n_edges), overflow)
+    return base + ((contained,) if ragged else ())

@@ -161,11 +161,6 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         log.log("streaming", chunk_reads=stream_chunk, n_reads=N,
                 meshed=mesh is not None)
 
-    if lengths is not None and stream_chunk and mesh is not None:
-        raise NotImplementedError(
-            "ragged + streaming + mesh (all three at once) is not wired"
-            " yet; ragged composes with either one alone"
-        )
     lengths_dev = None if lengths is None else jnp.asarray(
         np.asarray(lengths, np.int32)
     )
@@ -197,6 +192,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                         config.correction_rounds,
                         chunk_reads=stream_chunk,
                         route_cap=cap, query_cap=cap, table_cap=tcap,
+                        lengths=lengths,
                     )
                 if not ovf:
                     break
@@ -268,8 +264,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
 
             # host-side dedup (device holds one chunk's packs at a time)
             with log.timed("dedup", streamed=True):
-                reads2_np, valid2_np, mult_np, n_uniq, vread_np, _l2 = (
-                    prepare_reads_chunked(corrected_np, stream_chunk)
+                (reads2_np, valid2_np, mult_np, n_uniq, vread_np,
+                 lengths2_stream) = prepare_reads_chunked(
+                    corrected_np, stream_chunk, lengths=lengths
                 )
             nd = mesh.devices.size
             M2 = reads2_np.shape[0]
@@ -289,14 +286,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             while True:
                 with log.timed("overlap", sharded=True, streamed=True,
                                chunk_reads=stream_chunk):
-                    (src_sh, dst_sh, ovl_sh, n_edges_i,
-                     ovf) = sharded_find_overlaps_chunked(
+                    out = sharded_find_overlaps_chunked(
                         mesh, reads2_np, valid2_np, config.min_overlap,
                         config.effective_seed_len,
                         chunk_reads=2 * stream_chunk,
                         row_cap=row_cap, q_cap=q_cap, join_cap=join_cap,
                         edge_chunk_cap=edge_chunk_cap, edge_cap=edge_cap,
+                        lengths=lengths2_stream,
                     )
+                    src_sh, dst_sh, ovl_sh, n_edges_i, ovf = out[:5]
                 if not ovf:
                     break
                 row_cap *= 2
@@ -319,21 +317,48 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 edge_chunk_cap=edge_chunk_cap, edge_cap=edge_cap,
                 global_reads=M2,
             )
+            edges = (
+                gather_edge_shards(src_sh, dst_sh, ovl_sh, n_edges_i)
+                if (outdir or lengths is not None) else None
+            )
+            if lengths is not None:
+                # SAGE containment removal (ragged, streamed+meshed);
+                # the edge set changes on host -> drop device chaining
+                cont = out[5]
+                capn = M2 // 2
+                cont = cont | np.roll(cont, capn)
+                n_cont = int(cont.sum())
+                log.log("containment", n_contained=n_cont)
+                if n_cont:
+                    e_src, e_dst, e_ovl = edges
+                    real = e_src != 2**31 - 1
+                    drop = real.copy()
+                    drop[real] = (cont[e_src[real]] | cont[e_dst[real]])
+                    keepm = real & ~drop
+                    nkeep = int(keepm.sum())
+                    pad_to = e_src.shape[0]
+                    ns = np.full(pad_to, 2**31 - 1, np.int32)
+                    nd2 = np.full(pad_to, 2**31 - 1, np.int32)
+                    no = np.zeros(pad_to, np.int32)
+                    ns[:nkeep] = e_src[keepm]
+                    nd2[:nkeep] = e_dst[keepm]
+                    no[:nkeep] = e_ovl[keepm]
+                    edges = (ns, nd2, no)
+                    n_edges_i = nkeep
+                    edges_dev = None
+                    valid2_np = valid2_np & ~cont
             extra = {}
+            if lengths2_stream is not None:
+                extra["lengths2"] = lengths2_stream
             if mate_of is not None:
                 mate_pairs_np = _mate_pairs(vread_np, mate_of)
                 extra["mate_pairs"] = mate_pairs_np
                 log.log("mate_pairs", n_pairs=len(mate_pairs_np))
-            if outdir:
-                edges = gather_edge_shards(
-                    src_sh, dst_sh, ovl_sh, n_edges_i
-                )
+            if outdir and edges is not None:
                 _save(outdir, "edges", src=edges[0], dst=edges[1],
                       ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
                       valid2=valid2_np, multiplicity=mult_np, **extra)
                 _manifest(outdir, config, "overlap")
-            else:
-                edges = None
             rs = None
         elif stream_chunk is not None:
             from sage2_tpu.stream import (
@@ -586,7 +611,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 _manifest(outdir, config, "overlap")
         if rs is not None and rs.lengths2 is not None:
             lengths2_np = np.asarray(rs.lengths2)
-        elif stream_chunk is not None and mesh is None and lengths is not None:
+        elif stream_chunk is not None and lengths is not None:
             lengths2_np = lengths2_stream
         else:
             lengths2_np = None

@@ -199,3 +199,21 @@ def test_ragged_streamed_matches_single_device():
     assert s_stats == t_stats
     for a, b in zip(single, streamed):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_streamed_meshed_matches_single_device():
+    """ALL THREE at once — ragged reads, streaming chunks, and the
+    device mesh — bit-identical to the in-core ragged path."""
+    from dataclasses import replace
+
+    genome = simulate_genome(3000, seed=21)
+    reads, lens = _ragged_reads(genome, 700, 50, 80, seed=22)
+    cfg = AssemblyConfig(k=15, min_overlap=30, min_contig_len=150)
+    single, s_stats = assemble(reads, cfg, lengths=lens)
+    triple, t_stats = assemble(
+        reads, replace(cfg, mesh_shape=(8,), max_device_reads=120),
+        lengths=lens,
+    )
+    assert s_stats == t_stats
+    for a, b in zip(single, triple):
+        np.testing.assert_array_equal(a, b)
