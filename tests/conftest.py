@@ -11,9 +11,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # override axon sim: tests pin stable CPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    # 8 virtual devices share 2 physical cores here: under host load the
+    # default 20s/40s all_to_all rendezvous watchdog kills the process
+    _flags += (" --xla_cpu_collective_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
