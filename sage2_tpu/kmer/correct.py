@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sage2_tpu.kmer.count import KmerTable, count_kmers, lookup_counts
+from sage2_tpu.kmer.count import KmerTable, lookup_counts
 from sage2_tpu.ops import bitpack
 
 

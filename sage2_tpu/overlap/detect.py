@@ -37,9 +37,6 @@ import jax.numpy as jnp
 
 from sage2_tpu.ops import bitpack
 from sage2_tpu.ops.sort import (
-    expand_by_counts,
-    expand_with_payload,
-    lex_searchsorted,
     sort_by_keys,
 )
 

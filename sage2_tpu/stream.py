@@ -10,7 +10,6 @@ the spill mechanism between stages.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, Optional, Tuple
 
 import jax
