@@ -180,17 +180,29 @@ def _reduce_prep_host(src, dst, ovl, n_vertices: int, read_len):
         lens = np.asarray(read_len)
         src_len = lens[np.clip(src_np, 0, V - 1)]
     sl = np.where(is_edge, src_len - ovl_np, I32).astype(np.int64)
-    order = np.lexsort((sl, src_np))          # stable: by src, then sl
+    # ONE combined-key argsort (src<<32 | sl): a single introsort pass
+    # beats lexsort's two stable passes at this size, and the sorted key
+    # array is needed for the searchsorteds anyway
+    key0 = (src_np.astype(np.int64) << np.int64(32)) | sl
+    order = np.argsort(key0, kind="stable")
+    key = key0[order]
     ss_src = src_np[order]
     ss_sl = sl[order]
     ss_dst = dst_np[order]
-    # 64-bit combined key for lexicographic searchsorted
-    key = (ss_src.astype(np.int64) << np.int64(32)) | ss_sl
     start = np.searchsorted(
         key, np.arange(V, dtype=np.int64) << np.int64(32), side="left"
     ).astype(np.int32)
+    # per-src max sl = LAST element of each src run (sl ascends within a
+    # run) — np.maximum.at on 84.5M edges was a reduce-stage hotspot
+    s_end = np.searchsorted(
+        key, (np.arange(V, dtype=np.int64) + 1) << np.int64(32),
+        side="left",
+    )
     maxsl = np.full(V, -1, np.int64)
-    np.maximum.at(maxsl, src_np[is_edge], sl[is_edge])
+    nz = s_end > start
+    maxsl[nz] = ss_sl[s_end[nz] - 1]
+    # a src run may end with I32 sentinels? no: sentinel rows have
+    # src == I32_MAX and sort past every real vertex key
     w = np.where(is_edge, dst_np, 0)
     bound = np.where(is_edge, maxsl[np.clip(src_np, 0, V - 1)] - sl, -1)
     q = (w.astype(np.int64) << np.int64(32)) | np.maximum(bound, 0)
