@@ -198,7 +198,11 @@ def sharded_count_kmers_chunked(
         hi, lo, ct, n_unique, ovf = step(
             jnp.asarray(chunk), jnp.asarray(valid), hi, lo, ct, *extra
         )
-        overflow = overflow or bool(ovf)
+        if bool(ovf):
+            # fail FAST: a capacity overflow dooms the whole pass, and
+            # the caller's retry restarts from scratch — finishing the
+            # remaining chunks would only burn wall-clock
+            return KmerTable(hi, lo, ct, n_unique, k), True
     return KmerTable(hi, lo, ct, n_unique, k), overflow
 
 
@@ -286,7 +290,8 @@ def sharded_correct_reads_chunked(
             mesh, out, k, chunk_reads, route_cap, table_cap,
             lengths=lengths,
         )
-        overflow = overflow or ovf
+        if ovf:
+            return out, True    # fail fast: the pass is doomed anyway
         for i in range(0, N, rows):
             chunk, valid = _pad_chunk(
                 out[i : i + rows].astype(np.int32), rows
@@ -297,7 +302,8 @@ def sharded_correct_reads_chunked(
                 table.hi, table.lo, table.count,
                 table.n_unique, *extra,
             )
-            overflow = overflow or bool(ovf)
+            if bool(ovf):
+                return out, True
             nc = min(i + rows, N) - i
             out[i : i + rows] = np.asarray(corrected, np.int8)[:nc]
     return out, overflow

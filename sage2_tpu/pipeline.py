@@ -180,9 +180,11 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             rows = min(stream_chunk, N)
             rows += (-rows) % nd
             cap = max(4096, 4 * rows * (L - config.k + 1) // nd)
-            # unique k-mers per device: ~total/coverage heuristic start,
-            # doubled on overflow
-            tcap = max(1 << 15, N * (L - config.k + 1) // (8 * nd))
+            # unique k-mers per device: at low coverage or small k the
+            # unique fraction approaches 1/coverage-ish but error k-mers
+            # inflate it — total/4 start (memory-cheap: 12 B/slot),
+            # doubled on overflow (which now fails FAST, first chunk)
+            tcap = max(1 << 15, N * (L - config.k + 1) // (4 * nd))
             while True:
                 with log.timed("correct", rounds=config.correction_rounds,
                                sharded=True, streamed=True,
