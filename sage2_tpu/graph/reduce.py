@@ -254,11 +254,26 @@ def transitive_reduction_chunked(
             src, dst, ovl, V, read_len
         )
         counts = jnp.asarray(counts_np)
+        # membership-probe run table: first edge of each vertex in the
+        # (src, dst)-sorted main list (src is host-resident here)
+        src_np = np.asarray(src)
+        startd_np = np.searchsorted(
+            src_np, np.arange(V + 1, dtype=src_np.dtype), side="left"
+        ).astype(np.int32)
+        max_deg = int(np.diff(startd_np).max(initial=1))
+        startd = jnp.asarray(startd_np)
     else:
         ss_src, ss_sl, ss_dst, start, counts, sl = _reduce_prep(
             src, dst, ovl, V, fixed, lens
         )
         counts_np = np.asarray(counts)
+        startd = jnp.searchsorted(
+            src, jnp.arange(V + 1, dtype=src.dtype), side="left"
+        ).astype(jnp.int32)
+        max_deg = max(1, int(jnp.max(jnp.diff(startd))))
+    # bounded bisection step count: each probe searches only its
+    # vertex's out-run (<= max_deg entries, dst-sorted)
+    steps = max(1, int(max_deg).bit_length())
     total = int(counts_np.sum())
     # size the kernel to the problem: a tiny graph must not compile (and
     # allocate) a full chunk_cap-wide expansion
@@ -288,7 +303,7 @@ def transitive_reduction_chunked(
     # dominated the round-3 e2e reduce stage; one readback at the end
     removed_dev = jnp.zeros(E, bool)
     totals = []
-    kernel = _chunk_kernel(E, e_c, chunk_cap, fixed)
+    kernel = _chunk_kernel(E, e_c, chunk_cap, fixed, steps)
     for i in range(0, E, e_c):
         c_slice = slice(i, i + e_c)
         pad = e_c - (min(i + e_c, E) - i)
@@ -309,7 +324,7 @@ def transitive_reduction_chunked(
         )
         removed_dev, tot = kernel(
             removed_dev, c_src, c_dst, c_sl, c_counts, c_plen,
-            src, dst, ovl, ss_sl, ss_dst, start,
+            src, dst, ovl, ss_sl, ss_dst, start, startd,
         )
         totals.append(tot)
     # ONE batched capacity validation after the loop (per-chunk scalar
@@ -332,12 +347,11 @@ def transitive_reduction_chunked(
 
 
 @functools.lru_cache(maxsize=8)
-def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len):
+def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len, steps: int):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(removed_acc, c_src, c_dst, c_sl, c_counts, c_plen,
-            src, dst, ovl, ss_sl, ss_dst, start):
+            src, dst, ovl, ss_sl, ss_dst, start, startd):
         V = start.shape[0]
-        u = lambda x: x.astype(jnp.uint32)
         total = jnp.sum(c_counts)
         e1, rank, valid = expand_by_counts(c_counts, cand_cap)
         e2 = jnp.minimum(
@@ -347,10 +361,25 @@ def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len):
         x = ss_dst[e2]
         sls = c_sl[e1] + ss_sl[e2]
         valid = valid & (x != v)
-        pos = lex_searchsorted(u(src), u(dst), u(v), u(x), side="left")
-        pos_c = jnp.minimum(pos, E - 1)
+        # membership probe: bounded lower_bound over v's out-run in the
+        # (src, dst)-sorted list — src is constant inside the run, so
+        # each bisection step is ONE dst gather; a global lexicographic
+        # binary search cost 31 steps x 2 gathers per candidate and
+        # dominated the E. coli-scale reduce kernels
+        vc = jnp.clip(v, 0, V - 1)
+        lo = startd[vc]
+        hi = startd[vc + 1]
+        hi0 = hi
+        for _ in range(steps):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            dmid = dst[jnp.minimum(mid, E - 1)]
+            go_right = dmid < x
+            lo = jnp.where(active & go_right, mid + 1, lo)
+            hi = jnp.where(active & ~go_right, mid, hi)
+        pos_c = jnp.minimum(lo, E - 1)
         plen = fixed_len if fixed_len is not None else c_plen[e1]
-        hit = valid & (src[pos_c] == v) & (dst[pos_c] == x) & (
+        hit = valid & (lo < hi0) & (dst[pos_c] == x) & (
             plen - ovl[pos_c] == sls
         )
         removed = (
