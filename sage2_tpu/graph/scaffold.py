@@ -222,7 +222,8 @@ def chain_scaffolds(
             cur = (nc, no)
         scaffolds.append(chain)
     # cycles: every member has both joins; break at the smallest id
-    for c, o in sorted(right):
+    # (same (c, -o) key: prefer the +1 orientation entry point)
+    for c, o in sorted(right, key=lambda co: (co[0], -co[1])):
         if c in used:
             continue
         chain = [(c, o, 0)]
