@@ -250,19 +250,34 @@ def transitive_reduction_chunked(
     if host_prep is None:
         host_prep = E > (1 << 25)
     if host_prep:
+        # host-first ordering: callers should pass HOST arrays at this
+        # scale (the pipeline does) — prep reads them in place, and the
+        # device copies are created exactly once below; uploading first
+        # and downloading for prep doubled the relay transfers
+        src_np = np.asarray(src)
+        dst_np = np.asarray(dst)
+        ovl_np = np.asarray(ovl)
         ss_src, ss_sl, ss_dst, start, counts_np, sl = _reduce_prep_host(
-            src, dst, ovl, V, read_len
+            src_np, dst_np, ovl_np, V, read_len
         )
         counts = jnp.asarray(counts_np)
+        src = jnp.asarray(src_np)
+        dst = jnp.asarray(dst_np)
+        ovl = jnp.asarray(ovl_np)
         # membership-probe run table: first edge of each vertex in the
-        # (src, dst)-sorted main list (src is host-resident here)
-        src_np = np.asarray(src)
+        # (src, dst)-sorted main list
         startd_np = np.searchsorted(
             src_np, np.arange(V + 1, dtype=src_np.dtype), side="left"
         ).astype(np.int32)
         max_deg = int(np.diff(startd_np).max(initial=1))
         startd = jnp.asarray(startd_np)
     else:
+        src = jnp.asarray(src)
+        dst = jnp.asarray(dst)
+        ovl = jnp.asarray(ovl)
+        src_np = np.asarray(src)
+        dst_np = np.asarray(dst)
+        ovl_np = np.asarray(ovl)
         ss_src, ss_sl, ss_dst, start, counts, sl = _reduce_prep(
             src, dst, ovl, V, fixed, lens
         )
@@ -333,10 +348,10 @@ def transitive_reduction_chunked(
         assert int(tot) <= chunk_cap
     removed_np = np.asarray(removed_dev)
 
-    keep = (np.asarray(src) != 2**31 - 1) & ~removed_np
-    o_src = np.where(keep, np.asarray(src), 2**31 - 1).astype(np.int32)
-    o_dst = np.where(keep, np.asarray(dst), 2**31 - 1).astype(np.int32)
-    o_ovl = np.where(keep, np.asarray(ovl), 0).astype(np.int32)
+    keep = (src_np != 2**31 - 1) & ~removed_np
+    o_src = np.where(keep, src_np, 2**31 - 1).astype(np.int32)
+    o_dst = np.where(keep, dst_np, 2**31 - 1).astype(np.int32)
+    o_ovl = np.where(keep, ovl_np, 0).astype(np.int32)
     order = np.lexsort((o_dst, o_src))
     n_edges = int(keep.sum())
     return ReducedGraph(

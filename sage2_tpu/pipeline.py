@@ -707,9 +707,11 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             from sage2_tpu.graph.reduce import transitive_reduction_chunked
 
             with log.timed("reduce", chunked=True):
+                # host arrays pass through as-is: the chunked reduction
+                # preps on host and uploads device operands exactly once
                 red = transitive_reduction_chunked(
-                    jnp.asarray(edges[0]), jnp.asarray(edges[1]),
-                    jnp.asarray(edges[2]), V, vlen_arg, chunk_cap=1 << 24,
+                    edges[0], edges[1], edges[2], V, vlen_arg,
+                    chunk_cap=1 << 24,
                 )
             red_edges = (np.asarray(red.src), np.asarray(red.dst),
                          np.asarray(red.ovl))
