@@ -61,6 +61,11 @@ class AssemblyConfig:
     # --- capacities (static shapes; SURVEY.md §7 "Hard parts") ---
     candidate_capacity: int = 1 << 20   # max overlap candidates per batch
     reduce_capacity: int = 1 << 20      # max length-2 path expansions per pass
+    reduce_backend: str = "auto"    # single-device reduction backend:
+                                    # "auto" (native C++ when the edge
+                                    # list is host-resident and large,
+                                    # else device kernels) | "device" |
+                                    # "native" (csrc/reduce_host.cpp)
 
     # --- parallelism (SURVEY.md §2 parallelism table) ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # None => single device
@@ -85,6 +90,10 @@ class AssemblyConfig:
         if self.correction_rule not in ("single_window", "vote_all_windows"):
             raise ValueError(
                 f"unknown correction rule {self.correction_rule!r}"
+            )
+        if self.reduce_backend not in ("auto", "device", "native"):
+            raise ValueError(
+                f"unknown reduce backend {self.reduce_backend!r}"
             )
 
     @property

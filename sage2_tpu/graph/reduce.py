@@ -361,6 +361,96 @@ def transitive_reduction_chunked(
     )
 
 
+def transitive_reduction_native(
+    src,
+    dst,
+    ovl,
+    n_vertices: int,
+    read_len,
+    n_threads: int | None = None,
+) -> ReducedGraph | None:
+    """Myers reduction on host via the native C++ backend
+    (csrc/reduce_host.cpp) — identical semantics and output layout to
+    transitive_reduction_chunked, zero device transfers.
+
+    Returns None when the native library is unavailable (no toolchain);
+    callers fall back to the device kernels.
+    """
+    from sage2_tpu.graph import reduce_native
+
+    src_np = np.ascontiguousarray(np.asarray(src), np.int32)
+    dst_np = np.ascontiguousarray(np.asarray(dst), np.int32)
+    ovl_np = np.ascontiguousarray(np.asarray(ovl), np.int32)
+    if isinstance(read_len, (int, np.integer)):
+        rl = int(read_len)
+    else:
+        rl = np.asarray(read_len, np.int32)
+    out = reduce_native.reduce_marks(
+        src_np, dst_np, ovl_np, n_vertices, rl, n_threads=n_threads
+    )
+    if out is None:
+        return None
+    removed, total = out
+    E = src_np.shape[0]
+    keep = (src_np != 2**31 - 1) & ~removed
+    n_edges = int(keep.sum())
+    # identical to the chunked path's lexsort((dst, src)) with removed
+    # rows sentinel'd: kept rows are already (src, dst)-sorted, padding
+    # rows (I32_MAX, I32_MAX, 0) all sort to the tail
+    pad = E - n_edges
+    o_src = np.concatenate(
+        [src_np[keep], np.full(pad, 2**31 - 1, np.int32)]
+    )
+    o_dst = np.concatenate(
+        [dst_np[keep], np.full(pad, 2**31 - 1, np.int32)]
+    )
+    o_ovl = np.concatenate([ovl_np[keep], np.zeros(pad, np.int32)])
+    return ReducedGraph(
+        o_src, o_dst, o_ovl, np.int32(n_edges), np.int64(total),
+        np.bool_(False),
+    )
+
+
+def transitive_reduction_auto(
+    src,
+    dst,
+    ovl,
+    n_vertices: int,
+    read_len,
+    chunk_cap: int = 1 << 24,
+    backend: str = "auto",
+) -> ReducedGraph:
+    """Backend dispatcher for the single-device reduction stage.
+
+    ``backend``:
+      * "auto" — native C++ when the edge list is host-resident and big
+        enough that device dispatch would pay O(E) relay transfers
+        (measured break-even well below 2^22 edges; BASELINE.md
+        round-3), else the device kernels. Device arrays stay on device.
+      * "native" — force the host backend (error if no toolchain).
+      * "device" — force the device kernels (in-core or exact chunked).
+    """
+    if backend not in ("auto", "native", "device"):
+        raise ValueError(f"unknown reduce backend: {backend!r}")
+    host_resident = isinstance(src, np.ndarray)
+    use_native = backend == "native" or (
+        backend == "auto" and host_resident and src.shape[0] >= (1 << 22)
+    )
+    if use_native:
+        red = transitive_reduction_native(src, dst, ovl, n_vertices,
+                                          read_len)
+        if red is not None:
+            return red
+        if backend == "native":
+            raise RuntimeError(
+                "reduce backend 'native' requested but the C++ library "
+                "could not be built (see stderr)"
+            )
+    return transitive_reduction_chunked(
+        src, dst, ovl, n_vertices, read_len, chunk_cap=chunk_cap
+    )
+
+
 @functools.lru_cache(maxsize=8)
 def _chunk_kernel(E: int, e_c: int, cand_cap: int, fixed_len, steps: int):
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -704,14 +704,16 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             # kernel is sized to the problem — no capacity retries, no
             # doomed compiles (round-2 burned 50% of e2e wall-clock on
             # in-core retry recompiles at 1 Mbp)
-            from sage2_tpu.graph.reduce import transitive_reduction_chunked
+            from sage2_tpu.graph.reduce import transitive_reduction_auto
 
-            with log.timed("reduce", chunked=True):
-                # host arrays pass through as-is: the chunked reduction
-                # preps on host and uploads device operands exactly once
-                red = transitive_reduction_chunked(
+            with log.timed("reduce", backend=config.reduce_backend):
+                # host arrays pass through as-is: the native backend
+                # reduces them in place with zero transfers; the device
+                # backend preps on host and uploads operands exactly once
+                red = transitive_reduction_auto(
                     edges[0], edges[1], edges[2], V, vlen_arg,
                     chunk_cap=1 << 24,
+                    backend=config.reduce_backend,
                 )
             red_edges = (np.asarray(red.src), np.asarray(red.dst),
                          np.asarray(red.ovl))
