@@ -116,6 +116,16 @@ int64_t sage2_transitive_reduce(const int32_t* src, const int32_t* dst,
   while (n_real > 0 && src[n_real - 1] == kI32Max) --n_real;
   if (n_real == 0) return 0;
 
+  // O(E) layout validation: src in [0, V) and (src, dst) globally
+  // non-decreasing over the real prefix. Negative or locally-unsorted
+  // src would silently produce wrong runs (and wrong removal marks)
+  // below, so it must be a hard error, matching the header contract.
+  if (src[0] < 0 || src[n_real - 1] >= V) return -1;
+  for (int64_t e = 1; e < n_real; ++e) {
+    if (src[e] < src[e - 1]) return -1;
+    if (src[e] == src[e - 1] && dst[e] < dst[e - 1]) return -1;
+  }
+
   // run starts per vertex in the given (src, dst) order
   std::vector<int64_t> startd(static_cast<size_t>(V) + 1);
   {

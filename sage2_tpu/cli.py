@@ -38,6 +38,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    default="mincost")
     p.add_argument("--candidate-capacity", type=int, default=1 << 20)
     p.add_argument("--reduce-capacity", type=int, default=1 << 20)
+    p.add_argument("--reduce-backend",
+                   choices=["auto", "device", "native"], default="auto",
+                   help="single-device transitive-reduction backend:"
+                        " host C++ (native), device kernels (device), or"
+                        " pick by edge-list residency (auto)")
     p.add_argument("--length-policy",
                    choices=["strict", "trim", "filter", "pad"],
                    default="strict",
@@ -80,6 +85,7 @@ def _config(args) -> "AssemblyConfig":
         traversal=args.traversal,
         candidate_capacity=args.candidate_capacity,
         reduce_capacity=args.reduce_capacity,
+        reduce_backend=getattr(args, "reduce_backend", "auto"),
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else None,
         max_device_reads=getattr(args, "max_device_reads", None),
         scaffold=not getattr(args, "no_scaffold", False),

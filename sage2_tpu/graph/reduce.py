@@ -419,26 +419,35 @@ def transitive_reduction_auto(
     read_len,
     chunk_cap: int = 1 << 24,
     backend: str = "auto",
+    n_threads: int | None = None,
 ) -> ReducedGraph:
     """Backend dispatcher for the single-device reduction stage.
 
     ``backend``:
-      * "auto" — native C++ when the edge list is host-resident and big
-        enough that device dispatch would pay O(E) relay transfers
-        (measured break-even well below 2^22 edges; BASELINE.md
-        round-3), else the device kernels. Device arrays stay on device.
+      * "auto" — native C++ whenever the edge list is host-resident:
+        feeding host arrays to the device kernels pays O(E) transfers
+        plus dispatch floors for a memory-bound irregular walk, while
+        the native path's only fixed cost is thread spawn (~ms), so the
+        host backend wins at every host-resident size (measured
+        scripts/probe_reduce_native.py: ~0.1-0.4 us/edge end to end vs
+        a >30 ms device dispatch floor — break-even near 1e5 edges,
+        below which both are instant anyway). Device arrays stay on
+        device.
       * "native" — force the host backend (error if no toolchain).
       * "device" — force the device kernels (in-core or exact chunked).
+
+    ``n_threads``: worker threads for the native backend (default: all
+    cores).
     """
     if backend not in ("auto", "native", "device"):
         raise ValueError(f"unknown reduce backend: {backend!r}")
     host_resident = isinstance(src, np.ndarray)
     use_native = backend == "native" or (
-        backend == "auto" and host_resident and src.shape[0] >= (1 << 22)
+        backend == "auto" and host_resident
     )
     if use_native:
         red = transitive_reduction_native(src, dst, ovl, n_vertices,
-                                          read_len)
+                                          read_len, n_threads=n_threads)
         if red is not None:
             return red
         if backend == "native":

@@ -41,10 +41,13 @@ _build_failed = False
 
 
 def _compile(src: str, out: str) -> bool:
+    # build to a private temp path, then rename atomically: a concurrent
+    # process must never CDLL a partially written .so
     os.makedirs(_BUILD, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", src, "-o", out,
+        "-pthread", src, "-o", tmp,
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
@@ -55,6 +58,7 @@ def _compile(src: str, out: str) -> bool:
         print(f"[sage2.reduce_native] build failed:\n{r.stderr}",
               file=sys.stderr)
         return False
+    os.replace(tmp, out)
     return True
 
 
@@ -124,6 +128,13 @@ def reduce_marks(
     else:
         fixed = -1
         lens = np.ascontiguousarray(read_len, np.int32)
+        if lens.shape[0] < n_vertices:
+            # the C++ side indexes lens[v] for every v < n_vertices; a
+            # short array would be an out-of-bounds read there
+            raise ValueError(
+                f"reduce_marks: lens has {lens.shape[0]} entries but "
+                f"n_vertices={n_vertices}"
+            )
         lens_ptr = _ptr(lens)
     nt = n_threads or os.cpu_count() or 1
     total = lib.sage2_transitive_reduce(

@@ -32,8 +32,11 @@ _POLICY = {"strict": 0, "trim": 1, "filter": 2}
 
 
 def _compile(src: str, out: str, shared: bool) -> bool:
+    # build to a private temp path, then rename atomically: a concurrent
+    # process must never CDLL/exec a partially written artifact
     os.makedirs(_BUILD, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", out, "-lz"]
+    tmp = f"{out}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", tmp, "-lz"]
     if shared:
         cmd[1:1] = ["-shared", "-fPIC"]
     try:
@@ -44,6 +47,7 @@ def _compile(src: str, out: str, shared: bool) -> bool:
     if r.returncode != 0:
         print(f"[sage2.native] build failed:\n{r.stderr}", file=sys.stderr)
         return False
+    os.replace(tmp, out)
     return True
 
 

@@ -134,13 +134,17 @@ def main():
             return c
 
         t0 = time.perf_counter()
-        run(reads3, valid).block_until_ready()
+        # fetch (not just block): this relay can lazily skip executions
+        # whose results are never fetched — a block_until_ready-only
+        # timing loop can read ~0 s (measured, probe_gather_patterns)
+        keep = [jax.device_get(run(reads3, valid))]
         compile_s = time.perf_counter() - t0
         best = 1e30
         for _ in range(repeats):
             t0 = time.perf_counter()
-            run(reads3, valid).block_until_ready()
+            keep.append(jax.device_get(run(reads3, valid)))
             best = min(best, time.perf_counter() - t0)
+        assert all(v == keep[0] for v in keep[1:]), keep
         per_shard = 1e3 * best / K
         print(f"{names[lvl]:24s} {best:7.3f}s total  "
               f"{per_shard:7.2f} ms/shard  (+{per_shard - prev_ms:6.2f})"
