@@ -23,11 +23,14 @@ no per-base scalar loop, everything batched over (N, P) windows.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
-from sage2_tpu.kmer.count import KmerTable, lookup_counts
+from sage2_tpu.kmer.count import SENTINEL, KmerTable, lookup_counts
 from sage2_tpu.ops import bitpack
+from sage2_tpu.ops.sort import sort_by_keys
 
 
 def variant_keys_last(reads, k: int):
@@ -196,6 +199,214 @@ def _correct_voting_impl(
 
 _correct_jit = jax.jit(_correct_impl, static_argnums=(2, 3, 4))
 _correct_voting_jit = jax.jit(_correct_voting_impl, static_argnums=(2, 3, 4))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase weak-window corrector (round-4 performance path)
+#
+# The replacement rule can only fire for a window whose CURRENT k-mer is
+# weak (count < threshold) — apply_verdicts requires cur_cnt < threshold.
+# So the 4-variant table lookup over EVERY window (the dominant cost of
+# the correct stage at E. coli scale: sorts of T + 4*N*P rows per
+# sub-pass) is replaced by:
+#
+#   phase 1 — ONE current-key lookup over all windows (T + N*P rows),
+#             then compact the weak windows' flat indices (1-op sort);
+#   phase 2 — the 4-variant lookup on the compacted ~10% weak subset
+#             (T + 4*n_weak rows), verdicts scattered back.
+#
+# A second verdict-invariant cut: table entries with count < threshold
+# can never change ANY verdict (cur_cnt < threshold holds whether the
+# lookup returns 0 or threshold-1, and a sub-threshold variant can never
+# attain m >= threshold or tie a max that does), and at sequencing error
+# rates they are the MAJORITY of unique keys (error k-mers are mostly
+# singletons). prune_table_for_correction() drops them once per round,
+# shrinking the table that rides every lookup sort ~4x.
+#
+# Both are exact: equality with correct_reads is tested
+# (tests/test_correct.py::test_twophase_*).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _prune_impl(hi, lo, cnt, threshold: int):
+    keep = cnt >= threshold
+    k_hi = jnp.where(keep, hi, SENTINEL)
+    k_lo = jnp.where(keep, lo, SENTINEL)
+    s_hi, s_lo, s_cnt = sort_by_keys(
+        [k_hi, k_lo], [jnp.where(keep, cnt, 0)]
+    )
+    return s_hi, s_lo, s_cnt, jnp.sum(keep.astype(jnp.int32))
+
+
+def prune_table_for_correction(table: KmerTable, threshold: int) -> KmerTable:
+    """Drop sub-threshold entries and trim capacity (host sync on the
+    kept count). Verdict-invariant for both correction rules; see module
+    comment above."""
+    s_hi, s_lo, s_cnt, n_keep = _prune_impl(
+        table.hi, table.lo, table.count, threshold
+    )
+    n = int(n_keep)
+    cap = min(1 << max(n, 1).bit_length(), s_hi.shape[0])
+    return KmerTable(s_hi[:cap], s_lo[:cap], s_cnt[:cap],
+                     jnp.int32(n), table.k)
+
+
+@functools.lru_cache(maxsize=32)
+def _phase1_kernel(k: int, threshold: int, ragged: bool):
+    def run(reads, t_hi, t_lo, t_cnt, t_n, lengths):
+        fh, fl = bitpack.kmer_keys(reads, k)
+        rh, rl = bitpack.revcomp_kmer_keys(reads, k)
+        ch, cl = bitpack.canonicalize_pair(fh, fl, rh, rl)
+        t = KmerTable(t_hi, t_lo, t_cnt, t_n, k)
+        cnt = lookup_counts(t, ch, cl)
+        P = ch.shape[-1]
+        weak = cnt < threshold
+        if ragged:
+            weak &= jnp.arange(P)[None, :] < (lengths[:, None] - (k - 1))
+        flat = weak.reshape(-1)
+        NP = flat.shape[0]
+        key = jnp.where(
+            flat, jnp.arange(NP, dtype=jnp.int32), jnp.int32(NP)
+        )
+        (s_idx,) = sort_by_keys([key])
+        return s_idx, jnp.sum(flat.astype(jnp.int32))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _phase2_kernel(k: int, threshold: int, which: str):
+    def run(reads, t_hi, t_lo, t_cnt, t_n, widx):
+        N, L = reads.shape
+        P = L - k + 1
+        NP = N * P
+        off = k - 1 if which == "last" else 0
+        fh, fl = bitpack.kmer_keys(reads, k)
+        rh, rl = bitpack.revcomp_kmer_keys(reads, k)
+        cur_all = reads[..., off : off + P]
+        # one row gather delivers a weak window's key state + current
+        # base (5 uint32 columns) instead of 5 separate element gathers
+        slab = jnp.stack(
+            [fh.reshape(-1), fl.reshape(-1), rh.reshape(-1),
+             rl.reshape(-1), cur_all.reshape(-1).astype(jnp.uint32)],
+            axis=1,
+        )
+        row_valid = widx < NP
+        wi = jnp.minimum(widx, NP - 1)
+        rows = slab[wi]
+        wfh, wfl, wrh, wrl = (rows[:, 0], rows[:, 1], rows[:, 2],
+                              rows[:, 3])
+        cur = rows[:, 4].astype(reads.dtype)
+        chs, cls = [], []
+        for b in range(4):
+            bb = jnp.full(cur.shape, b, cur.dtype)
+            if which == "last":
+                vfh, vfl = bitpack.set_base(wfh, wfl, k, k - 1, cur, bb)
+                vrh, vrl = bitpack.set_base(wrh, wrl, k, 0, 3 - cur,
+                                            3 - bb)
+            else:
+                vfh, vfl = bitpack.set_base(wfh, wfl, k, 0, cur, bb)
+                vrh, vrl = bitpack.set_base(wrh, wrl, k, k - 1, 3 - cur,
+                                            3 - bb)
+            ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
+            chs.append(ch)
+            cls.append(cl)
+        t = KmerTable(t_hi, t_lo, t_cnt, t_n, k)
+        cnt4 = jnp.moveaxis(
+            lookup_counts(t, jnp.stack(chs), jnp.stack(cls)), 0, -1
+        )                                              # (cap, 4)
+        m = jnp.max(cnt4, axis=-1)
+        n_at_max = jnp.sum(
+            (cnt4 == m[..., None]).astype(jnp.int32), axis=-1
+        )
+        cur_cnt = jnp.take_along_axis(
+            cnt4, cur[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        best = jnp.argmax(cnt4, axis=-1).astype(reads.dtype)
+        replace = ((cur_cnt < threshold) & (m >= threshold)
+                   & (n_at_max == 1) & row_valid)
+        # edit targets are unique per sub-pass (window w edits base
+        # w + off; weak windows are distinct)
+        target = (wi // P) * L + (wi % P) + off
+        flat = reads.reshape(-1)
+        new = flat.at[jnp.where(replace, target, N * L)].set(
+            best, mode="drop"
+        )
+        return new.reshape(N, L)
+
+    return jax.jit(run)
+
+
+# memoized weak-window capacity per (N, L, k, threshold) problem shape
+_WEAK_CAP_MEMO: dict = {}
+
+
+def _weak_capacity(memo_key, n_weak: int) -> int:
+    grain = 1 << 14
+    cap = _WEAK_CAP_MEMO.get(memo_key, 0)
+    if n_weak > cap:
+        cap = max(-(-int(n_weak * 1.1) // grain) * grain, grain)
+        if len(_WEAK_CAP_MEMO) > 256:
+            _WEAK_CAP_MEMO.pop(next(iter(_WEAK_CAP_MEMO)))
+        _WEAK_CAP_MEMO[memo_key] = cap
+    return cap
+
+
+def twophase_round(
+    reads: jnp.ndarray,
+    pruned: KmerTable,
+    k: int,
+    threshold: int,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """One forward+backward correction round of the single_window rule
+    against an already-pruned table (prune_table_for_correction).
+    Host syncs: one scalar fetch (n_weak) per sub-pass. The streamed
+    corrector calls this per chunk with the global per-round table."""
+    N, L = reads.shape
+    P = L - k + 1
+    ragged = lengths is not None
+    lens = lengths if ragged else jnp.zeros((N,), jnp.int32)
+    pt = pruned
+    for which in ("last", "first"):
+        s_idx, n_weak_dev = _phase1_kernel(k, threshold, ragged)(
+            reads, pt.hi, pt.lo, pt.count, pt.n_unique, lens
+        )
+        n_weak = int(n_weak_dev)
+        cap = _weak_capacity((N, L, k, threshold), n_weak)
+        reads = _phase2_kernel(k, threshold, which)(
+            reads, pt.hi, pt.lo, pt.count, pt.n_unique,
+            s_idx[: min(cap, N * P)],
+        )
+    return reads
+
+
+def correct_reads_twophase(
+    reads: jnp.ndarray,
+    k: int,
+    threshold: int,
+    rounds: int,
+    table: KmerTable | None = None,
+    lengths: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Host-orchestrated fast path of the single_window rule.
+
+    Bit-identical to correct_reads(..., rule="single_window") (tested);
+    ~3-4x less sort volume per sub-pass at E. coli scale. Host syncs per
+    sub-pass: one scalar fetch (n_weak) plus the per-round pruned-table
+    size — call this from host-driven stages (pipeline, streaming), not
+    under jit (use correct_reads there).
+    """
+    from sage2_tpu.kmer.count import count_kmers
+
+    for r in range(rounds):
+        t = table if (r == 0 and table is not None) else count_kmers(
+            reads, k, lengths
+        )
+        pt = prune_table_for_correction(t, threshold)
+        reads = twophase_round(reads, pt, k, threshold, lengths)
+    return reads
 
 
 def correct_reads(

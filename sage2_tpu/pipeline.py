@@ -243,12 +243,23 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 table.hi.block_until_ready()
             log.log("count_result", n_unique=int(table.n_unique))
             with log.timed("correct", rounds=config.correction_rounds):
-                corrected = correct_reads(
-                    r, config.k, config.solid_threshold,
-                    config.correction_rounds, table=table,
-                    lengths=lengths_dev,
-                    rule=config.correction_rule,
-                )
+                if config.correction_rule == "single_window":
+                    from sage2_tpu.kmer.correct import (
+                        correct_reads_twophase,
+                    )
+
+                    corrected = correct_reads_twophase(
+                        r, config.k, config.solid_threshold,
+                        config.correction_rounds, table=table,
+                        lengths=lengths_dev,
+                    )
+                else:
+                    corrected = correct_reads(
+                        r, config.k, config.solid_threshold,
+                        config.correction_rounds, table=table,
+                        lengths=lengths_dev,
+                        rule=config.correction_rule,
+                    )
                 corrected.block_until_ready()
             corrected_np = np.asarray(corrected, dtype=np.int8)
         _save(outdir, "corrected", reads=corrected_np)

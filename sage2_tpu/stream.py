@@ -521,11 +521,25 @@ def correct_reads_chunked(
     and backward sub-pass only at round boundaries too, and sub-pass
     verdicts depend only on the global table and the chunk's own rows,
     so chunking is exact.) ``lengths``: ragged (0-padded) inputs.
+
+    The single_window rule runs through the two-phase weak-window path
+    (kmer.correct.twophase_round — bit-identical, tested) with the
+    global table pruned once per round; the voting rule keeps the dense
+    per-chunk kernel.
     """
+    from sage2_tpu.kmer.correct import (
+        prune_table_for_correction,
+        twophase_round,
+    )
+
     out = np.array(reads, dtype=np.int8, copy=True)
     N = out.shape[0]
     for _ in range(rounds):
         table = count_kmers_chunked(out, k, chunk_reads, lengths=lengths)
+        pruned = (
+            prune_table_for_correction(table, threshold)
+            if rule == "single_window" else None
+        )
         for i in range(0, N, chunk_reads):
             raw = out[i : i + chunk_reads]
             nc = raw.shape[0]
@@ -544,10 +558,15 @@ def correct_reads_chunked(
                 lc = np.full(chunk.shape[0], raw.shape[1], np.int32)
                 lc[:nc] = lengths[i : i + chunk_reads]
                 lens_c = jnp.asarray(lc)
-            corrected = correct_reads(
-                chunk, k, threshold, rounds=1, table=table, rule=rule,
-                lengths=lens_c,
-            )
+            if rule == "single_window":
+                corrected = twophase_round(
+                    chunk, pruned, k, threshold, lengths=lens_c
+                )
+            else:
+                corrected = correct_reads(
+                    chunk, k, threshold, rounds=1, table=table,
+                    rule=rule, lengths=lens_c,
+                )
             out[i : i + chunk_reads] = np.asarray(
                 corrected, dtype=np.int8
             )[:nc]

@@ -107,3 +107,84 @@ def test_voting_chunked_matches_incore():
     b = np.asarray(correct_reads(jnp.asarray(reads), 9, 3, 2,
                                  rule="vote_all_windows"), np.int8)
     np.testing.assert_array_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# Two-phase weak-window fast path (round-4 performance corrector)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k,rounds,thr", [(7, 1, 3), (7, 2, 3), (11, 2, 2)])
+def test_twophase_matches_dense(k, rounds, thr):
+    from sage2_tpu.kmer.correct import correct_reads_twophase
+
+    genome = simulate_genome(400, seed=13)
+    reads, _ = simulate_reads(
+        genome, read_len=30, coverage=20, error_rate=0.02, seed=14
+    )
+    reads = reads.astype(np.int32)
+    dense = np.asarray(
+        correct_reads(jnp.asarray(reads), k, threshold=thr, rounds=rounds)
+    )
+    fast = np.asarray(
+        correct_reads_twophase(
+            jnp.asarray(reads), k, threshold=thr, rounds=rounds
+        )
+    )
+    np.testing.assert_array_equal(fast, dense)
+
+
+def test_twophase_matches_dense_ragged():
+    from sage2_tpu.kmer.correct import correct_reads_twophase
+
+    genome = simulate_genome(500, seed=15)
+    reads, _ = simulate_reads(
+        genome, read_len=36, coverage=22, error_rate=0.02, seed=16
+    )
+    rng = np.random.default_rng(17)
+    lens = rng.integers(24, 37, size=reads.shape[0]).astype(np.int32)
+    reads = np.where(
+        np.arange(reads.shape[1])[None, :] < lens[:, None], reads, 0
+    ).astype(np.int32)
+    dense = np.asarray(
+        correct_reads(
+            jnp.asarray(reads), 9, threshold=3, rounds=2,
+            lengths=jnp.asarray(lens),
+        )
+    )
+    fast = np.asarray(
+        correct_reads_twophase(
+            jnp.asarray(reads), 9, threshold=3, rounds=2,
+            lengths=jnp.asarray(lens),
+        )
+    )
+    np.testing.assert_array_equal(fast, dense)
+
+
+def test_prune_table_verdict_invariant():
+    """Dropping sub-threshold table entries must not change any verdict,
+    including on reads engineered to contain singleton k-mers."""
+    from sage2_tpu.kmer import count_kmers
+    from sage2_tpu.kmer.correct import (
+        correct_reads_twophase,
+        prune_table_for_correction,
+    )
+
+    genome = simulate_genome(300, seed=18)
+    reads, _ = simulate_reads(
+        genome, read_len=28, coverage=12, error_rate=0.05, seed=19
+    )
+    reads = reads.astype(np.int32)
+    k, thr = 9, 3
+    table = count_kmers(jnp.asarray(reads), k)
+    pruned = prune_table_for_correction(table, thr)
+    assert int(pruned.n_unique) < int(table.n_unique)  # singletons exist
+    dense = np.asarray(
+        correct_reads(jnp.asarray(reads), k, threshold=thr, rounds=1)
+    )
+    fast = np.asarray(
+        correct_reads_twophase(
+            jnp.asarray(reads), k, threshold=thr, rounds=1, table=table
+        )
+    )
+    np.testing.assert_array_equal(fast, dense)
