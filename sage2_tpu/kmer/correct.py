@@ -131,6 +131,62 @@ def _correct_impl(
     return reads
 
 
+def voting_round(reads, lookup, k: int, threshold: int, lengths=None):
+    """One round of the covering-window VOTING rule given a counts
+    lookup callable (semantics pinned by oracle_correct_voting).
+
+    ``lookup(ch, cl) -> counts`` answers canonical-key count queries of
+    shape (4, N, P) — the in-core path passes a sorted-table join, the
+    sharded path a routed distributed lookup, so the rule has exactly
+    one implementation.
+
+    The 4 variant keys of every window-internal position j are O(1) key
+    edits; solidity verdicts accumulate into a (N, L, 4) vote array by
+    shifted slice-adds (window w's position j votes for base position
+    w + j), so the pass is k batched table probes with no per-base
+    scalar loop.
+    """
+    N, L = reads.shape
+    P = L - k + 1
+    wvalid = None
+    if lengths is not None:
+        wvalid = jnp.arange(P)[None, :] < (lengths[:, None] - (k - 1))
+    fh, fl = bitpack.kmer_keys(reads, k)
+    rh, rl = bitpack.revcomp_kmer_keys(reads, k)
+    votes = jnp.zeros((4, N, L), jnp.int32)
+    for j in range(k):
+        cur = reads[..., j : j + P]
+        chs, cls = [], []
+        for b in range(4):
+            bb = jnp.full(cur.shape, b, cur.dtype)
+            vfh, vfl = bitpack.set_base(fh, fl, k, j, cur, bb)
+            # window position j is rc position k-1-j, complemented
+            vrh, vrl = bitpack.set_base(
+                rh, rl, k, k - 1 - j, 3 - cur, 3 - bb
+            )
+            ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
+            chs.append(ch)
+            cls.append(cl)
+        cnt = lookup(jnp.stack(chs), jnp.stack(cls))
+        solid = (cnt >= threshold).astype(jnp.int32)
+        if wvalid is not None:
+            solid = solid * wvalid[None].astype(jnp.int32)
+        votes = votes.at[:, :, j : j + P].add(solid)
+    votes = jnp.moveaxis(votes, 0, -1)                     # (N, L, 4)
+    vcur = jnp.take_along_axis(
+        votes, reads[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    m = jnp.max(votes, axis=-1)
+    n_at_max = jnp.sum(
+        (votes == m[..., None]).astype(jnp.int32), axis=-1
+    )
+    best = jnp.argmax(votes, axis=-1).astype(reads.dtype)
+    replace = (m > vcur) & (n_at_max == 1)
+    if lengths is not None:
+        replace = replace & (jnp.arange(L)[None, :] < lengths[:, None])
+    return jnp.where(replace, best, reads)
+
+
 def _correct_voting_impl(
     reads: jnp.ndarray,
     table_arrays,
@@ -139,20 +195,8 @@ def _correct_voting_impl(
     rounds: int,
     lengths=None,
 ) -> jnp.ndarray:
-    """Covering-window VOTING rule (semantics pinned by
-    refmodel.oracle.oracle_correct_voting — see there for the rule).
-
-    Per round, the 4 variant keys of every window-internal position j
-    are O(1) key edits; solidity verdicts accumulate into a (N, L, 4)
-    vote array by shifted slice-adds (window w's position j votes for
-    base position w + j), so the pass is k batched table probes with no
-    per-base scalar loop.
-    """
-    N, L = reads.shape
-    P = L - k + 1
-    wvalid = None
-    if lengths is not None:
-        wvalid = jnp.arange(P)[None, :] < (lengths[:, None] - (k - 1))
+    """Covering-window VOTING rule: per-round recount + voting_round
+    with the in-core sorted-table lookup."""
     for r in range(rounds):
         if r == 0 and table_arrays is not None:
             t = KmerTable(*table_arrays, k)
@@ -160,40 +204,10 @@ def _correct_voting_impl(
             from sage2_tpu.kmer.count import _count_impl
 
             t = KmerTable(*_count_impl(reads, k, lengths), k)
-        fh, fl = bitpack.kmer_keys(reads, k)
-        rh, rl = bitpack.revcomp_kmer_keys(reads, k)
-        votes = jnp.zeros((4, N, L), jnp.int32)
-        for j in range(k):
-            cur = reads[..., j : j + P]
-            chs, cls = [], []
-            for b in range(4):
-                bb = jnp.full(cur.shape, b, cur.dtype)
-                vfh, vfl = bitpack.set_base(fh, fl, k, j, cur, bb)
-                # window position j is rc position k-1-j, complemented
-                vrh, vrl = bitpack.set_base(
-                    rh, rl, k, k - 1 - j, 3 - cur, 3 - bb
-                )
-                ch, cl = bitpack.canonicalize_pair(vfh, vfl, vrh, vrl)
-                chs.append(ch)
-                cls.append(cl)
-            cnt = lookup_counts(t, jnp.stack(chs), jnp.stack(cls))
-            solid = (cnt >= threshold).astype(jnp.int32)
-            if wvalid is not None:
-                solid = solid * wvalid[None].astype(jnp.int32)
-            votes = votes.at[:, :, j : j + P].add(solid)
-        votes = jnp.moveaxis(votes, 0, -1)                     # (N, L, 4)
-        vcur = jnp.take_along_axis(
-            votes, reads[..., None].astype(jnp.int32), axis=-1
-        )[..., 0]
-        m = jnp.max(votes, axis=-1)
-        n_at_max = jnp.sum(
-            (votes == m[..., None]).astype(jnp.int32), axis=-1
+        reads = voting_round(
+            reads, lambda ch, cl: lookup_counts(t, ch, cl), k, threshold,
+            lengths,
         )
-        best = jnp.argmax(votes, axis=-1).astype(reads.dtype)
-        replace = (m > vcur) & (n_at_max == 1)
-        if lengths is not None:
-            replace = replace & (jnp.arange(L)[None, :] < lengths[:, None])
-        reads = jnp.where(replace, best, reads)
     return reads
 
 

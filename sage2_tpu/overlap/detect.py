@@ -557,32 +557,36 @@ def _mix32(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 
 def _row_payload(
     shifted: jnp.ndarray, positions, n_entries: int, L: int, W_pay: int,
-    lengths: jnp.ndarray,
+    lengths: jnp.ndarray, trim: int = 0,
 ) -> jnp.ndarray:
     """Per-(read, seed-position) payload rows for the fused join.
 
-    Row = [aw0..aw(W_pay-1), xw, len] where aw_t is the uint32 word
-    covering bases [pos + 16t, pos + 16t + 16) (zero-padded past the
-    read end) and ``len`` is the read's length (constant L for
-    fixed-length inputs — carrying it uniformly keeps ONE kernel for
-    ragged and fixed reads; gather width is free on this device).
-    ``W_pay`` is the trimmed word count ceil((L - g) / 16): the verify
-    compares at most L - g bases from the anchor, so later words never
-    carry compared bits. The shared column xw is role-dependent: the
-    first ``n_entries`` positions are ENTRY rows, whose xw is the
-    read's FIRST word (bases [0, 16) — the B side of the prefix check);
-    the rest are QUERY rows, whose xw is the prev-window word (bases
-    [pos-16, pos), base pos-1 in the bottom 2 bits — the A side).
-    Static slices only. Returns (M, len(positions), W_pay + 2) uint32.
+    Row = [aw0..aw(Wt-1), xw, len] where aw_t is the uint32 word
+    covering bases [pos + 16*(trim+t), pos + 16*(trim+t) + 16)
+    (zero-padded past the read end) and ``len`` is the read's length
+    (constant L for fixed-length inputs — carrying it uniformly keeps
+    ONE kernel for ragged and fixed reads). ``W_pay`` is the word count
+    ceil((L - g) / 16) covering the verify span; ``trim`` drops the
+    first words (Wt = W_pay - trim): the join sorts on the EXACT seed
+    key, so the seed-covered words are equal within a run by
+    construction and never need shipping or comparing (round-4 cut —
+    gather cost scales with row width on the bench chip). The shared
+    column xw is role-dependent: the first ``n_entries`` positions are
+    ENTRY rows, whose xw is the read's FIRST word (bases [0, 16) — the
+    B side of the prefix check); the rest are QUERY rows, whose xw is
+    the prev-window word (bases [pos-16, pos), base pos-1 in the bottom
+    2 bits — the A side). Static slices only.
+    Returns (M, len(positions), W_pay - trim + 2) uint32.
     """
     M = shifted.shape[0]
     W = shifted.shape[2]
+    Wt = W_pay - trim
     lcol = lengths.astype(jnp.uint32)[:, None]
     rows = []
     for i, pos in enumerate(positions):
-        r, w = pos % 16, pos // 16
-        aw = shifted[:, r, w : w + W_pay]
-        pad = W_pay - (W - w)
+        r, w = pos % 16, pos // 16 + trim
+        aw = shifted[:, r, w : w + Wt]
+        pad = Wt - (W - w)
         if pad > 0:
             aw = jnp.concatenate(
                 [aw, jnp.zeros((M, pad), shifted.dtype)], axis=1
@@ -604,7 +608,15 @@ class JoinGeometry(NamedTuple):
     n_pos: int      # A-side probe positions (at g, 2g, ...)
     R: int          # seed rows per read == g + n_pos
     pa: int         # last possible overlap start == L - min_overlap
-    Wp: int         # trimmed payload words == ceil((L - g) / 16)
+    Wp: int         # full verify-span words == ceil((L - g) / 16)
+    trim: int = 0   # leading words guaranteed equal by the seed key
+                    # (1 when s >= 16, 2 when s == 32 — the key is
+                    # unmasked over those words)
+
+    @property
+    def Wt(self) -> int:
+        """Shipped payload words per row (after the seed trim)."""
+        return self.Wp - self.trim
 
 
 def join_geometry(
@@ -618,7 +630,9 @@ def join_geometry(
         raise ValueError(f"stride {g} invalid for min_overlap={min_overlap}, "
                          f"seed={s}")
     n_pos = -(-pa // g)
-    return JoinGeometry(g, n_pos, g + n_pos, pa, -(-(L - g) // 16))
+    Wp = -(-(L - g) // 16)
+    trim = min((1 if s >= 16 else 0) + (1 if s == 32 else 0), Wp)
+    return JoinGeometry(g, n_pos, g + n_pos, pa, Wp, trim)
 
 
 def build_seed_rows(
@@ -631,33 +645,35 @@ def build_seed_rows(
 ):
     """Seed rows of the fused join for a (local) read block.
 
-    Returns (h, packed, payload): (M, R) hash / tagged ids and
-    (M, R, Wp+2) word payload. ``id_base``: global index of row 0 of
-    ``reads2`` — the sharded path numbers rows globally so candidate
-    decode (id // R) yields global read ids after routing. ``lengths``:
-    per-read lengths for ragged inputs (None => every read is L); a row
-    is valid only when its whole seed lies inside the read.
+    Returns (k_hi, k_lo, packed, payload): (M, R) exact seed keys /
+    tagged ids and (M, R, Wt+2) word payload. The join sorts on the
+    EXACT (k_hi, k_lo) key (not a hash): collision-free grouping, and
+    the words the unmasked key covers are trimmed from the payload
+    (geo.trim; see _row_payload). Invalid rows carry the all-ones key
+    AND the all-ones packed sentinel — a REAL all-T seed keeps its key
+    and stays distinguishable by its packed id, so poly-T reads join
+    exactly. ``id_base``: global index of row 0 of ``reads2`` — the
+    sharded path numbers rows globally so candidate decode (id // R)
+    yields global read ids after routing. ``lengths``: per-read lengths
+    for ragged inputs (None => every read is L); a row is valid only
+    when its whole seed lies inside the read.
     """
     M, L = reads2.shape
-    g, n_pos, R, pa, Wp = geo
+    g, n_pos, R, pa, Wp, trim = geo
     positions = list(range(g)) + [g * (j + 1) for j in range(n_pos)]
     if lengths is None:
         lengths = jnp.full((M,), L, jnp.int32)
     shifted = shifted_word_packs(reads2)
     payload = _row_payload(
-        shifted, positions, g, L, Wp, lengths
-    )                                              # (M, R, Wp+2)
-    if s == 32 and Wp >= 2:
-        # the 32-base seed key IS the first two payload words
-        k_hi, k_lo = payload[..., 0], payload[..., 1]
-    else:
-        k_hi, k_lo = seed_keys_at_positions(shifted, s, positions, L)
-    h = _mix32(k_hi, k_lo)
+        shifted, positions, g, L, Wp, lengths, trim
+    )                                              # (M, R, Wt+2)
+    k_hi, k_lo = seed_keys_at_positions(shifted, s, positions, L)
     pos_arr = jnp.asarray(positions, jnp.int32)
     rv = valid2[:, None] & (
         pos_arr[None, :] + s <= lengths[:, None]
     )
-    h = jnp.where(rv, jnp.minimum(h, jnp.uint32(0xFFFFFFFE)), _U32_MAX)
+    k_hi = jnp.where(rv, k_hi, _U32_MAX)
+    k_lo = jnp.where(rv, k_lo, _U32_MAX)
     tag = jnp.concatenate(
         [jnp.zeros((M, g), jnp.uint32),
          jnp.full((M, n_pos), 0x80000000, jnp.uint32)], axis=1,
@@ -666,7 +682,8 @@ def build_seed_rows(
     packed = tag | (
         row0 + jnp.arange(M * R, dtype=jnp.uint32).reshape(M, R)
     )
-    return h, packed, payload
+    packed = jnp.where(rv, packed, _U32_MAX)
+    return k_hi, k_lo, packed, payload
 
 
 def find_overlaps(
@@ -717,18 +734,18 @@ def find_overlaps(
         raise ValueError(f"min_overlap ({min_overlap}) must be < read len ({L})")
 
     geo = join_geometry(L, min_overlap, s, stride)
-    g, n_pos, R, pa, Wp = geo
-    N = M * R
+    N = M * geo.R
     C = capacity
-    if N >= 1 << 31:
+    if N >= (1 << 31) - 1:
         raise ValueError(f"seed rows {N} overflow 31-bit row ids")
 
-    h, packed, payload = build_seed_rows(
+    k_hi, k_lo, packed, payload = build_seed_rows(
         reads2, valid2, s, geo, lengths=lengths
     )
     ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
-        h.reshape(-1), packed.reshape(-1), payload.reshape(N, Wp + 2),
-        R, g, L, pa, Wp, C, min_overlap, ids_are_positions=True,
+        k_hi.reshape(-1), k_lo.reshape(-1), packed.reshape(-1),
+        payload.reshape(N, geo.Wt + 2), geo, L, C, min_overlap,
+        ids_are_positions=True,
     )
     overflow = total > C
 
@@ -752,58 +769,65 @@ def find_overlaps(
 
 
 def fused_join_core(
-    h: jnp.ndarray,
+    k_hi: jnp.ndarray,
+    k_lo: jnp.ndarray,
     packed: jnp.ndarray,
     payrows: jnp.ndarray,
-    R: int,
-    g: int,
+    geo: JoinGeometry,
     L: int,
-    pa: int,
-    Wp: int,
     C: int,
     min_overlap: int | None = None,
     ids_are_positions: bool = False,
 ):
     """The fused sort-join + expansion + verify, on pre-built seed rows.
 
-    h: (N,) 32-bit seed hash (invalid rows forced to 0xFFFFFFFF);
-    packed: (N,) tag-bit | row id (id = read*R + t, reads may be
-    globally numbered — the sharded path feeds rows received from other
-    devices); payrows: (N, Wp+2) suffix/prev word payload + read length,
-    indexed by POSITION (not id). ``ids_are_positions``: the local path
-    (id_base=0, one contiguous block) sets this so the sort runs with TWO
-    operands — the payload position is recovered from the id itself
-    instead of carrying an iota value operand (sort cost scales with
-    operand count). Returns
+    k_hi, k_lo: (N,) EXACT seed keys (invalid rows forced to all-ones);
+    packed: (N,) tag-bit | row id, all-ones sentinel on invalid rows
+    (id = read*R + t, reads may be globally numbered — the sharded path
+    feeds rows received from other devices); payrows: (N, Wt+2)
+    suffix/prev word payload + read length, indexed by POSITION (not
+    id). The sort groups by the full key (3 operands): collision-free
+    runs, and the key-covered leading words (geo.trim) are already
+    absent from the payload — equal within a run by construction, so
+    neither gather ships them nor the verify compares them (round-4:
+    gather cost scales with row width). ``ids_are_positions``: the
+    local path (id_base=0, one contiguous block) sets this so the
+    payload position is recovered from the id itself instead of
+    carrying an iota value operand through the sort. Returns
     (ok_edge, ok_contained, cand_a, cand_b, ovl, total): one entry per
     candidate slot in [0, C). ok_edge marks verified proper dovetails
     (v = lenA - p0 in [min_overlap, lenB)); ok_contained marks verified
     full containments of B inside A (lenB <= lenA - p0). For
-    fixed-length inputs ok_contained is identically False and ok_edge
-    matches the round-2 fixed-length kernel bit for bit.
+    fixed-length inputs ok_contained is identically False.
     """
+    g, n_pos, R, pa, Wp, trim = geo
+    Wt = geo.Wt
     if min_overlap is None:
         min_overlap = L - pa
-    N = h.shape[0]
+    N = k_hi.shape[0]
 
-    # --- one combined sort -----------------------------------------------
+    # --- one combined sort (full key: exact, collision-free runs) -------
     if ids_are_positions:
-        # local path: flat row index == (packed & 0x7FFFFFFF), so the
-        # payload stays position-addressable with a 2-operand sort
-        s_hash, s_packed = sort_by_keys([h, packed])
+        # local path: flat row index == (packed & 0x7FFFFFFF) for live
+        # rows, so the payload stays position-addressable without an
+        # iota value operand (sort cost scales with operand count)
+        s_hi, s_lo, s_packed = sort_by_keys([k_hi, k_lo, packed])
         s_pos = (s_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     else:
         # sharded path: ids are global, an iota value operand carries the
         # local payload position through the sort
-        s_hash, s_packed, s_pos = sort_by_keys(
-            [h, packed], [jnp.arange(N, dtype=jnp.int32)]
+        s_hi, s_lo, s_packed, s_pos = sort_by_keys(
+            [k_hi, k_lo, packed], [jnp.arange(N, dtype=jnp.int32)]
         )
 
     # --- scan-based run accounting --------------------------------------
     iota_n = jnp.arange(N, dtype=jnp.int32)
-    prev = jnp.concatenate([s_hash[:1], s_hash[:-1]])
-    is_head = (iota_n == 0) | (s_hash != prev)
-    live = s_hash != _U32_MAX
+    prev_hi = jnp.concatenate([s_hi[:1], s_hi[:-1]])
+    prev_lo = jnp.concatenate([s_lo[:1], s_lo[:-1]])
+    is_head = (iota_n == 0) | (s_hi != prev_hi) | (s_lo != prev_lo)
+    # the packed sentinel (not the key) marks dead rows: a REAL all-T
+    # seed shares the all-ones key but keeps a live id < 0x7FFFFFFF
+    live = s_packed != _U32_MAX
     is_entry = ((s_packed >> 31) == 0) & live
     is_query = ((s_packed >> 31) == 1) & live
     entrycum = jnp.cumsum(is_entry.astype(jnp.int32))
@@ -820,14 +844,15 @@ def fused_join_core(
     starts = offsets - counts
 
     # payload pregather: each sorted row's id, suffix/prev words, and its
-    # run_start + start — the latter two ride as columns so the expansion
-    # below scatters a SINGLE value (wide scatters are disproportionately
-    # expensive on this device; wide gathers are free)
+    # run_start + start — the latter two ride as TRAILING columns so the
+    # entry-side gather below reads a narrower prefix view (wide scatters
+    # are disproportionately expensive on this device; gather cost grows
+    # with row width)
     pays = jnp.concatenate(
         [s_packed[:, None], payrows[s_pos],
          run_start[:, None].astype(jnp.uint32),
          starts[:, None].astype(jnp.uint32)], axis=1
-    )                                              # (N, Wp+5)
+    )                                              # (N, Wt+5)
 
     # --- expansion: one 1-col monotone scatter + cummax -----------------
     # candidate starts are unique, so a plain dropped set suffices (and
@@ -843,11 +868,12 @@ def fused_join_core(
 
     # --- two candidate row gathers + elementwise verify -----------------
     pay_a = pays[jnp.clip(qpos, 0, N - 1)]
-    rank = iota_c - pay_a[:, Wp + 4].astype(jnp.int32)
+    rank = iota_c - pay_a[:, Wt + 4].astype(jnp.int32)
     bslot = jnp.clip(
-        pay_a[:, Wp + 3].astype(jnp.int32) + rank, 0, N - 1
+        pay_a[:, Wt + 3].astype(jnp.int32) + rank, 0, N - 1
     )
-    pay_b = pays[bslot]
+    # entry side: narrow view without the run_start/starts admin columns
+    pay_b = pays[:, : Wt + 3][bslot]
     qid = (pay_a[:, 0] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     eid = (pay_b[:, 0] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     cand_a = qid // R
@@ -855,24 +881,26 @@ def fused_join_core(
     cand_b = eid // R
     o = eid % R
     p0 = p - o
-    len_a = pay_a[:, Wp + 2].astype(jnp.int32)
-    len_b = pay_b[:, Wp + 2].astype(jnp.int32)
+    len_a = pay_a[:, Wt + 2].astype(jnp.int32)
+    len_b = pay_b[:, Wt + 2].astype(jnp.int32)
     ovl = len_a - p0                               # dovetail length v
     cand_valid = slot_valid & (cand_a != cand_b)
 
-    aq = pay_a[:, 1 : 1 + Wp]
-    bo = pay_b[:, 1 : 1 + Wp]
+    aq = pay_a[:, 1 : 1 + Wt]
+    bo = pay_b[:, 1 : 1 + Wt]
     diff = aq ^ bo
     # compare from anchor p: min(lenA - p, lenB - o) bases — everything
-    # beyond either read's end is masked, so pad bases never compare
+    # beyond either read's end is masked, so pad bases never compare;
+    # the first `trim` words (the seed) are equal by key-sort
+    # construction and absent here
     lc2 = jnp.minimum(len_a - p, len_b - o) * 2
-    t16 = jnp.arange(Wp, dtype=jnp.int32)[None, :] * 32
+    t16 = (jnp.arange(Wt, dtype=jnp.int32)[None, :] + trim) * 32
     vb = jnp.clip(lc2[:, None] - t16, 0, 32)
     shift = jnp.clip(32 - vb, 0, 31).astype(jnp.uint32)
     ok_word = jnp.where(vb == 0, True, (diff >> shift) == 0)
     # prefix: A[p0:p] (low 2o bits of the query's pw) == B[0:o]
-    apw = pay_a[:, 1 + Wp]
-    b0w = pay_b[:, 1 + Wp]
+    apw = pay_a[:, 1 + Wt]
+    b0w = pay_b[:, 1 + Wt]
     o2 = (2 * o).astype(jnp.uint32)
     lhs = apw & ((jnp.uint32(1) << o2) - 1)
     rhs = jnp.where(

@@ -249,12 +249,16 @@ def sharded_correct_reads(
     query_cap: int,
     valid: jnp.ndarray | None = None,
     lengths: jnp.ndarray | None = None,
+    rule: str = "single_window",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed spectrum correction: reads stay sharded; every count
     probe is a routed query against the hash-partitioned table.
 
-    Semantics identical to kmer.correct_reads (same verdict rule and pass
-    order) — tested for equality against the single-device path.
+    Semantics identical to kmer.correct_reads with the same ``rule``
+    (single_window sub-passes or vote_all_windows covering-window
+    voting — the voting accumulation is per-(read, window) local once
+    counts arrive, so it composes with the routed lookup unchanged) —
+    tested for equality against the single-device path for both rules.
     ``lengths``: ragged (0-padded) reads — windows past a read's end
     neither count, vote, nor edit, matching the in-core ragged rule.
     """
@@ -264,6 +268,8 @@ def sharded_correct_reads(
         valid = jnp.ones(reads.shape[0], bool)
     ragged = lengths is not None
     P_ = reads.shape[1] - k + 1
+    if rule not in ("single_window", "vote_all_windows"):
+        raise ValueError(f"unknown correction rule {rule!r}")
 
     in_specs = [P(axis, None), P(axis)]
     if ragged:
@@ -277,9 +283,9 @@ def sharded_correct_reads(
     )
     def run(reads_local, valid_local, *rest):
         r = reads_local
+        lens_local = rest[0] if ragged else None
         wvalid = None
         if ragged:
-            lens_local = rest[0]
             wvalid = jnp.arange(P_)[None, :] < (
                 lens_local[:, None] - (k - 1)
             )
@@ -294,6 +300,21 @@ def sharded_correct_reads(
                 kvalid.reshape(-1), k, route_cap, ndev,
             )
             any_overflow |= ovf
+            if rule == "vote_all_windows":
+                from sage2_tpu.kmer.correct import voting_round
+
+                ovf_acc = [jnp.zeros((), bool)]
+
+                def lookup(ch, cl):
+                    counts, o = _sharded_lookup(
+                        axis, table, ch, cl, query_cap, ndev
+                    )
+                    ovf_acc[0] |= o
+                    return counts
+
+                r = voting_round(r, lookup, k, threshold, lens_local)
+                any_overflow |= ovf_acc[0]
+                continue
             for which in ("last", "first"):
                 if which == "last":
                     ch, cl, cur = variant_keys_last(r, k)
@@ -847,8 +868,9 @@ def sharded_find_overlaps(
     )
 
     geo = join_geometry(L, min_overlap, s)
-    g, n_pos, R, pa, Wp = geo
-    if M * R >= 1 << 31:
+    g, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
+    if M * R >= (1 << 31) - 1:
         raise ValueError(f"global seed rows {M * R} overflow 31-bit ids")
 
     in_specs = [P(axis, None), P(axis)]
@@ -870,26 +892,35 @@ def sharded_find_overlaps(
         lens_local = rest[0] if ragged else None
 
         # --- local seed rows, globally numbered -------------------------
-        h, packed, payload = build_seed_rows(
+        k_hi, k_lo, packed, payload = build_seed_rows(
             reads_local, valid_local, s, geo, id_base=base,
             lengths=lens_local,
         )
         n_l = m_local * R
         rows = jnp.concatenate(
-            [h.reshape(n_l, 1), packed.reshape(n_l, 1),
-             payload.reshape(n_l, Wp + 2)], axis=1,
+            [k_hi.reshape(n_l, 1), k_lo.reshape(n_l, 1),
+             packed.reshape(n_l, 1), payload.reshape(n_l, Wt + 2)],
+            axis=1,
         )
-        owner = (h.reshape(-1) % jnp.uint32(ndev)).astype(jnp.int32)
-        live = h.reshape(-1) != _U32_MAX
+        # routing still hashes the key pair down to one owner word
+        from sage2_tpu.overlap.detect import _mix32
+
+        owner = (
+            _mix32(k_hi.reshape(-1), k_lo.reshape(-1))
+            % jnp.uint32(ndev)
+        ).astype(jnp.int32)
+        live = packed.reshape(-1) != _U32_MAX
         recv, recv_valid, ovf_rows = _route_rows(
             axis, owner, live, rows, row_cap, ndev
         )
 
         # --- fused join on the received rows ----------------------------
-        rh = jnp.where(recv_valid, recv[:, 0], _U32_MAX)
-        rp = recv[:, 1]
+        r_hi = jnp.where(recv_valid, recv[:, 0], _U32_MAX)
+        r_lo = jnp.where(recv_valid, recv[:, 1], _U32_MAX)
+        r_pk = jnp.where(recv_valid, recv[:, 2], _U32_MAX)
         ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
-            rh, rp, recv[:, 2:], R, g, L, pa, Wp, join_cap, min_overlap,
+            r_hi, r_lo, r_pk, recv[:, 3:], geo, L, join_cap,
+            min_overlap,
         )
         ovf_join = total > join_cap
 

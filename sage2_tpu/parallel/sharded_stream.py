@@ -213,7 +213,7 @@ def sharded_count_kmers_chunked(
 
 @functools.lru_cache(maxsize=8)
 def _correct_step(mesh: Mesh, k: int, threshold: int, query_cap: int,
-                  ragged: bool = False):
+                  ragged: bool = False, rule: str = "single_window"):
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     in_specs = [P(axis, None), P(axis),
@@ -233,27 +233,43 @@ def _correct_step(mesh: Mesh, k: int, threshold: int, query_cap: int,
             t_nu.reshape(()), k,
         )
         r = chunk_local
+        lens_local = rest[0] if ragged else None
         wvalid = None
         if ragged:
             Pw = r.shape[1] - k + 1
             wvalid = jnp.arange(Pw)[None, :] < (
-                rest[0][:, None] - (k - 1)
+                lens_local[:, None] - (k - 1)
             )
         any_ovf = jnp.zeros((), bool)
-        for which in ("last", "first"):
-            if which == "last":
-                ch, cl, cur = variant_keys_last(r, k)
-                off = k - 1
-            else:
-                ch, cl, cur = variant_keys_first(r, k)
-                off = 0
-            counts, ovf = _sharded_lookup(
-                axis, table, ch, cl, query_cap, ndev
-            )
-            any_ovf |= ovf
-            counts4 = jnp.moveaxis(counts, 0, -1)
-            r = apply_verdicts(r, counts4, cur, off, threshold,
-                               window_valid=wvalid)
+        if rule == "vote_all_windows":
+            from sage2_tpu.kmer.correct import voting_round
+
+            ovf_acc = [jnp.zeros((), bool)]
+
+            def lookup(ch, cl):
+                counts, o = _sharded_lookup(
+                    axis, table, ch, cl, query_cap, ndev
+                )
+                ovf_acc[0] |= o
+                return counts
+
+            r = voting_round(r, lookup, k, threshold, lens_local)
+            any_ovf |= ovf_acc[0]
+        else:
+            for which in ("last", "first"):
+                if which == "last":
+                    ch, cl, cur = variant_keys_last(r, k)
+                    off = k - 1
+                else:
+                    ch, cl, cur = variant_keys_first(r, k)
+                    off = 0
+                counts, ovf = _sharded_lookup(
+                    axis, table, ch, cl, query_cap, ndev
+                )
+                any_ovf |= ovf
+                counts4 = jnp.moveaxis(counts, 0, -1)
+                r = apply_verdicts(r, counts4, cur, off, threshold,
+                                   window_valid=wvalid)
         r = jnp.where(valid_local[:, None], r, chunk_local)
         return r, any_ovf
 
@@ -271,11 +287,13 @@ def sharded_correct_reads_chunked(
     query_cap: int,
     table_cap: int,
     lengths: np.ndarray | None = None,
+    rule: str = "single_window",
 ) -> Tuple[np.ndarray, bool]:
     """Streamed sharded correction: per round, the global sharded table
-    is rebuilt by chunked routed counting, then every chunk passes the
-    two single-window sub-passes with routed lookups. Bit-identical to
-    kmer.correct_reads / stream.correct_reads_chunked (tested).
+    is rebuilt by chunked routed counting, then every chunk applies the
+    configured rule (single-window sub-passes or covering-window
+    voting) with routed lookups. Bit-identical to kmer.correct_reads /
+    stream.correct_reads_chunked with the same rule (tested).
     ``lengths``: ragged (0-padded) reads."""
     ndev = mesh.devices.size
     out = np.array(reads, dtype=np.int8, copy=True)
@@ -283,7 +301,7 @@ def sharded_correct_reads_chunked(
     rows = min(chunk_reads, N)
     rows += (-rows) % ndev
     ragged = lengths is not None
-    step = _correct_step(mesh, k, threshold, query_cap, ragged)
+    step = _correct_step(mesh, k, threshold, query_cap, ragged, rule)
     overflow = False
     for _ in range(rounds):
         table, ovf = sharded_count_kmers_chunked(
@@ -317,13 +335,18 @@ def sharded_correct_reads_chunked(
 @functools.lru_cache(maxsize=8)
 def _entry_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
                 rows_local: int, row_cap: int, ragged: bool = False):
-    from sage2_tpu.overlap.detect import build_seed_rows, join_geometry
+    from sage2_tpu.overlap.detect import (
+        _mix32,
+        build_seed_rows,
+        join_geometry,
+    )
 
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     s = min(seed_len, min_overlap, 32)
     geo = join_geometry(L, min_overlap, s)
-    g, n_pos, R, pa, Wp = geo
+    g, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
     in_specs = [P(axis, None), P(axis), P()]
     if ragged:
         in_specs.append(P(axis))
@@ -338,25 +361,29 @@ def _entry_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
     def step(chunk_local, valid_local, base, *rest):
         dev = jax.lax.axis_index(axis)
         id_base = base + (dev * rows_local).astype(jnp.uint32)
-        h, packed, payload = build_seed_rows(
+        k_hi, k_lo, packed, payload = build_seed_rows(
             chunk_local, valid_local, s, geo, id_base=id_base,
             lengths=rest[0] if ragged else None,
         )
         m = chunk_local.shape[0]
         rows = jnp.concatenate(
-            [h[:, :g].reshape(m * g, 1),
+            [k_hi[:, :g].reshape(m * g, 1),
+             k_lo[:, :g].reshape(m * g, 1),
              packed[:, :g].reshape(m * g, 1),
-             payload[:, :g].reshape(m * g, Wp + 2)], axis=1,
+             payload[:, :g].reshape(m * g, Wt + 2)], axis=1,
         )
-        hh = h[:, :g].reshape(-1)
+        hh = _mix32(k_hi[:, :g].reshape(-1), k_lo[:, :g].reshape(-1))
+        live = packed[:, :g].reshape(-1) != _U32_MAX
         owner = (hh % jnp.uint32(ndev)).astype(jnp.int32)
         recv, recv_valid, ovf = _route_rows(
-            axis, owner, hh != _U32_MAX, rows, row_cap, ndev
+            axis, owner, live, rows, row_cap, ndev
         )
-        # invalid slots carry a dead hash so they never join
-        recv = recv.at[:, 0].set(
-            jnp.where(recv_valid, recv[:, 0], _U32_MAX)
-        )
+        # invalid slots carry dead keys + the packed sentinel so they
+        # never join
+        dead = ~recv_valid
+        recv = recv.at[:, 0].set(jnp.where(dead, _U32_MAX, recv[:, 0]))
+        recv = recv.at[:, 1].set(jnp.where(dead, _U32_MAX, recv[:, 1]))
+        recv = recv.at[:, 2].set(jnp.where(dead, _U32_MAX, recv[:, 2]))
         overflow = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
         return recv[None], overflow
 
@@ -369,6 +396,7 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
                 edge_chunk_cap: int, v_d: int, m_total: int,
                 ragged: bool = False):
     from sage2_tpu.overlap.detect import (
+        _mix32,
         _reduce_fused,
         build_seed_rows,
         fused_join_core,
@@ -379,7 +407,8 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
     ndev = mesh.devices.size
     s = min(seed_len, min_overlap, 32)
     geo = join_geometry(L, min_overlap, s)
-    g, n_pos, R, pa, Wp = geo
+    g, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
     in_specs = [P(axis, None, None), P(axis, None), P(axis), P()]
     out_specs = [P(axis, None, None), P()]
     if ragged:
@@ -396,29 +425,38 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
     def step(entries, chunk_local, valid_local, base, *rest):
         dev = jax.lax.axis_index(axis)
         id_base = base + (dev * rows_local).astype(jnp.uint32)
-        h, packed, payload = build_seed_rows(
+        k_hi, k_lo, packed, payload = build_seed_rows(
             chunk_local, valid_local, s, geo, id_base=id_base,
             lengths=rest[0] if ragged else None,
         )
         m = chunk_local.shape[0]
         q_rows = jnp.concatenate(
-            [h[:, g:].reshape(m * n_pos, 1),
+            [k_hi[:, g:].reshape(m * n_pos, 1),
+             k_lo[:, g:].reshape(m * n_pos, 1),
              packed[:, g:].reshape(m * n_pos, 1),
-             payload[:, g:].reshape(m * n_pos, Wp + 2)], axis=1,
+             payload[:, g:].reshape(m * n_pos, Wt + 2)], axis=1,
         )
-        hh = h[:, g:].reshape(-1)
+        hh = _mix32(k_hi[:, g:].reshape(-1), k_lo[:, g:].reshape(-1))
+        live_q = packed[:, g:].reshape(-1) != _U32_MAX
         owner = (hh % jnp.uint32(ndev)).astype(jnp.int32)
         recv_q, recv_qv, ovf_q = _route_rows(
-            axis, owner, hh != _U32_MAX, q_rows, q_cap, ndev
+            axis, owner, live_q, q_rows, q_cap, ndev
         )
         ent = entries.reshape(-1, entries.shape[-1])
-        h_all = jnp.concatenate([
-            ent[:, 0], jnp.where(recv_qv, recv_q[:, 0], _U32_MAX)
+        dead_q = ~recv_qv
+        hi_all = jnp.concatenate([
+            ent[:, 0], jnp.where(dead_q, _U32_MAX, recv_q[:, 0])
         ])
-        p_all = jnp.concatenate([ent[:, 1], recv_q[:, 1]])
-        pay_all = jnp.concatenate([ent[:, 2:], recv_q[:, 2:]], axis=0)
+        lo_all = jnp.concatenate([
+            ent[:, 1], jnp.where(dead_q, _U32_MAX, recv_q[:, 1])
+        ])
+        p_all = jnp.concatenate([
+            ent[:, 2], jnp.where(dead_q, _U32_MAX, recv_q[:, 2])
+        ])
+        pay_all = jnp.concatenate([ent[:, 3:], recv_q[:, 3:]], axis=0)
         ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
-            h_all, p_all, pay_all, R, g, L, pa, Wp, join_cap, min_overlap,
+            hi_all, lo_all, p_all, pay_all, geo, L, join_cap,
+            min_overlap,
         )
         ovf_join = total > join_cap
         k_src, k_dst, k_ovl, _n0 = _reduce_fused(
@@ -512,7 +550,7 @@ def sharded_find_overlaps_chunked(
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
     geo = join_geometry(L, min_overlap, s)
-    if M * geo.R >= 1 << 31:
+    if M * geo.R >= (1 << 31) - 1:
         raise ValueError(f"global seed rows {M * geo.R} overflow 31-bit ids")
     v_d = -(-M // ndev)
     rows = min(chunk_reads, M)

@@ -167,12 +167,6 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
 
     # --- stage 1+2: count + correct (SURVEY.md §3.2) -------------------
     if start <= STAGES.index("correct"):
-        if config.correction_rule != "single_window" and mesh is not None:
-            raise NotImplementedError(
-                "correction_rule='vote_all_windows' is single-device /"
-                " streamed only this round (the sharded corrector routes"
-                " the single-window probes)"
-            )
         if mesh is not None and stream_chunk is not None:
             from sage2_tpu.parallel import sharded_correct_reads_chunked
 
@@ -195,6 +189,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                         chunk_reads=stream_chunk,
                         route_cap=cap, query_cap=cap, table_cap=tcap,
                         lengths=lengths,
+                        rule=config.correction_rule,
                     )
                 if not ovf:
                     break
@@ -221,6 +216,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                     route_cap=cap, query_cap=cap,
                     valid=jnp.asarray(pvalid),
                     lengths=lens_pad,
+                    rule=config.correction_rule,
                 )
                 corrected.block_until_ready()
             assert not bool(ovf), "sharded correction routing overflow"

@@ -274,8 +274,9 @@ def find_overlaps_chunked_ragged(
     M, L = reads2.shape
     s = min(seed_len, min_overlap, 32)
     geo = join_geometry(L, min_overlap, s)
-    g, n_pos, R, pa, Wp = geo
-    if M * R >= 1 << 31:
+    g, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
+    if M * R >= (1 << 31) - 1:
         raise ValueError(f"seed rows {M * R} overflow 31-bit row ids")
 
     def chunk_rows(i):
@@ -294,14 +295,15 @@ def find_overlaps_chunked_ragged(
     ent_parts = []
     for i in range(0, M, chunk_reads):
         chunk, cvalid, lens_c = chunk_rows(i)
-        h, packed, payload = _ragged_entry_rows(
+        k_hi, k_lo, packed, payload = _ragged_entry_rows(
             chunk, cvalid, lens_c, s, geo, i
         )
         m = chunk.shape[0]
         ent_parts.append(jnp.concatenate(
-            [h[:, :g].reshape(m * g, 1),
+            [k_hi[:, :g].reshape(m * g, 1),
+             k_lo[:, :g].reshape(m * g, 1),
              packed[:, :g].reshape(m * g, 1),
-             payload[:, :g].reshape(m * g, Wp + 2)], axis=1,
+             payload[:, :g].reshape(m * g, Wt + 2)], axis=1,
         ))
         del chunk
     entries = (jnp.concatenate(ent_parts) if len(ent_parts) > 1
@@ -356,23 +358,26 @@ def _ragged_join_kernel(s: int, geo, min_overlap: int, cap: int,
         fused_join_core,
     )
 
-    g, n_pos, R, pa, Wp = geo
+    g, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
 
     @jax.jit
     def query_join(entries, chunk, cvalid, lens_c, base):
         L = chunk.shape[1]
-        h, packed, payload = build_seed_rows(
+        k_hi, k_lo, packed, payload = build_seed_rows(
             chunk, cvalid, s, geo, id_base=base, lengths=lens_c
         )
         m = chunk.shape[0]
-        h_q = h[:, g:].reshape(-1)
+        hi_q = k_hi[:, g:].reshape(-1)
+        lo_q = k_lo[:, g:].reshape(-1)
         p_q = packed[:, g:].reshape(-1)
-        pay_q = payload[:, g:].reshape(m * n_pos, Wp + 2)
-        h_all = jnp.concatenate([entries[:, 0], h_q])
-        p_all = jnp.concatenate([entries[:, 1], p_q])
-        pay_all = jnp.concatenate([entries[:, 2:], pay_q], axis=0)
+        pay_q = payload[:, g:].reshape(m * n_pos, Wt + 2)
+        hi_all = jnp.concatenate([entries[:, 0], hi_q])
+        lo_all = jnp.concatenate([entries[:, 1], lo_q])
+        p_all = jnp.concatenate([entries[:, 2], p_q])
+        pay_all = jnp.concatenate([entries[:, 3:], pay_q], axis=0)
         ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
-            h_all, p_all, pay_all, R, g, L, pa, Wp, cap, min_overlap,
+            hi_all, lo_all, p_all, pay_all, geo, L, cap, min_overlap,
         )
         cont = (
             jnp.zeros(m_total + 1, bool)

@@ -53,30 +53,32 @@ def main():
 
     s = 32
     geo = detect.join_geometry(L, min_ovl, s)
-    g_, n_pos, R, pa, Wp = geo
+    g_, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
     C = 1 << 21  # generous candidate capacity (fixed across variants)
 
     def rows_of(r, v):
-        h, packed, payload = detect.build_seed_rows(r, v, s, geo)
+        k_hi, k_lo, packed, payload = detect.build_seed_rows(r, v, s, geo)
         N = r.shape[0] * R
-        return (h.reshape(-1), packed.reshape(-1),
-                payload.reshape(N, Wp + 2))
+        return (k_hi.reshape(-1), k_lo.reshape(-1), packed.reshape(-1),
+                payload.reshape(N, Wt + 2))
 
     def stage(level):
         def one(r, v):
-            h, packed, payrows = rows_of(r, v)
-            N = h.shape[0]
+            k_hi, k_lo, packed, payrows = rows_of(r, v)
+            N = k_hi.shape[0]
             acc = jnp.uint32(0)
             if level == 0:          # seed-row build only
-                return acc + jnp.sum(h) + jnp.sum(packed)
-            s_hash, s_packed = sort_by_keys([h, packed])
+                return acc + jnp.sum(k_hi) + jnp.sum(packed)
+            s_hi, s_lo, s_packed = sort_by_keys([k_hi, k_lo, packed])
             s_pos = (s_packed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
             if level == 1:          # + combined sort
-                return jnp.sum(s_hash) + jnp.sum(s_packed)
+                return jnp.sum(s_hi) + jnp.sum(s_packed)
             iota_n = jnp.arange(N, dtype=jnp.int32)
-            prev = jnp.concatenate([s_hash[:1], s_hash[:-1]])
-            is_head = (iota_n == 0) | (s_hash != prev)
-            live = s_hash != jnp.uint32(0xFFFFFFFF)
+            prev_hi = jnp.concatenate([s_hi[:1], s_hi[:-1]])
+            prev_lo = jnp.concatenate([s_lo[:1], s_lo[:-1]])
+            is_head = (iota_n == 0) | (s_hi != prev_hi) | (s_lo != prev_lo)
+            live = s_packed != jnp.uint32(0xFFFFFFFF)
             is_entry = ((s_packed >> 31) == 0) & live
             is_query = ((s_packed >> 31) == 1) & live
             entrycum = jnp.cumsum(is_entry.astype(jnp.int32))
@@ -103,15 +105,15 @@ def main():
             if level == 3:          # + expansion scatter + cummax
                 return jnp.sum(qpos) + jnp.sum(slot_valid)
             pay_a = pays[jnp.clip(qpos, 0, N - 1)]
-            rank = iota_c - pay_a[:, Wp + 4].astype(jnp.int32)
+            rank = iota_c - pay_a[:, Wt + 4].astype(jnp.int32)
             bslot = jnp.clip(
-                pay_a[:, Wp + 3].astype(jnp.int32) + rank, 0, N - 1)
-            pay_b = pays[bslot]
+                pay_a[:, Wt + 3].astype(jnp.int32) + rank, 0, N - 1)
+            pay_b = pays[:, : Wt + 3][bslot]
             if level == 4:          # + the two candidate row gathers
                 return jnp.sum(pay_a) + jnp.sum(pay_b)
             # full fused core + reduce (the production kernel)
             ok, okc, ca, cb, ovl, total = detect.fused_join_core(
-                h, packed, payrows, R, g_, L, pa, Wp, C, min_ovl,
+                k_hi, k_lo, packed, payrows, geo, L, C, min_ovl,
                 ids_are_positions=True)
             ks, kd, ko, ne = detect._reduce_fused(ok, ca, cb, ovl, L,
                                                   r.shape[0])

@@ -281,3 +281,25 @@ def test_stacked_matches_per_shard():
         np.testing.assert_array_equal(np.asarray(ref.src), src3[k])
         np.testing.assert_array_equal(np.asarray(ref.dst), dst3[k])
         np.testing.assert_array_equal(np.asarray(ref.ovl), ovl3[k])
+
+
+def test_overlap_polyT_seeds_exact():
+    """Reads whose 32-base seeds are all-T carry the all-ones seed key —
+    the key the kernel also uses to mark invalid rows. The round-4
+    full-key sort distinguishes them by the packed-id sentinel; their
+    overlaps must match the oracle exactly (regression for the
+    hash-clamp removal)."""
+    rng = np.random.default_rng(51)
+    genome = np.asarray(rng.integers(0, 4, size=400), np.int8)
+    genome[100:180] = 3          # 80-base poly-T stretch
+    L, min_ovl = 60, 30
+    starts = np.arange(0, 400 - L, 7)
+    reads = np.stack([genome[s : s + L] for s in starts]).astype(np.int32)
+    res = find_overlaps(
+        jnp.asarray(reads), jnp.ones(reads.shape[0], bool), min_ovl,
+        seed_len=32, capacity=1 << 14,
+    )
+    assert not bool(res.overflow)
+    got = _edges_to_dict(res)
+    expect = oracle_overlaps(reads, min_ovl)
+    assert got == expect

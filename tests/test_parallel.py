@@ -287,3 +287,37 @@ def test_sharded_chunked_correct_and_overlap_match_incore(mesh):
                                   np.asarray(res.dst)[:n_edges])
     np.testing.assert_array_equal(g_ovl[:n_edges],
                                   np.asarray(res.ovl)[:n_edges])
+
+
+def test_sharded_correct_voting_matches_single(mesh):
+    reads = _reads(seed=311, err=0.02)
+    k, thr, rounds = 11, 3, 2
+    single = np.asarray(correct_reads(
+        jnp.asarray(reads), k, thr, rounds, rule="vote_all_windows"
+    ))
+    out, overflow = sharded_correct_reads(
+        mesh, jnp.asarray(reads), k, thr, rounds,
+        route_cap=8192, query_cap=8192, rule="vote_all_windows",
+    )
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(out), single)
+
+
+def test_sharded_correct_voting_chunked_matches_single(mesh):
+    from sage2_tpu.parallel.sharded_stream import (
+        sharded_correct_reads_chunked,
+    )
+
+    reads = _reads(seed=313, err=0.02)
+    k, thr, rounds = 11, 3, 2
+    single = np.asarray(correct_reads(
+        jnp.asarray(reads), k, thr, rounds, rule="vote_all_windows"
+    ))
+    out, overflow = sharded_correct_reads_chunked(
+        mesh, reads.astype(np.int8), k, thr, rounds,
+        chunk_reads=reads.shape[0] // 2 + 8,
+        route_cap=8192, query_cap=8192, table_cap=1 << 14,
+        rule="vote_all_windows",
+    )
+    assert not overflow
+    np.testing.assert_array_equal(out.astype(np.int32), single)
