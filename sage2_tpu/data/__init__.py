@@ -1,6 +1,7 @@
 """Synthetic dataset generation (no network: datasets are simulated)."""
 
 from sage2_tpu.data.simulate import (
+    simulate_complex_genome,
     simulate_genome,
     simulate_read_pairs,
     simulate_reads,
@@ -8,6 +9,7 @@ from sage2_tpu.data.simulate import (
 )
 
 __all__ = [
+    "simulate_complex_genome",
     "simulate_genome",
     "simulate_read_pairs",
     "simulate_reads",

@@ -38,6 +38,70 @@ def simulate_genome(
     return g.astype(np.int8)
 
 
+def simulate_complex_genome(
+    total_length: int,
+    seed: int = 0,
+    n_chromosomes: int = 2,
+    dispersed_families: int = 3,
+    dispersed_copies: int = 20,
+    dispersed_len: int = 800,
+    tandem_loci: int = 10,
+    tandem_unit: int = 150,
+    tandem_copies: int = 5,
+    divergence: float = 0.0,
+) -> list:
+    """Repeat-rich multi-chromosome genome (BASELINE.json config #5
+    complexity rehearsal: human-like repeat structure at reduced scale).
+
+    Structure: ``n_chromosomes`` random chromosomes summing to
+    ``total_length``; ``dispersed_families`` repeat families, each
+    planted at ``dispersed_copies`` random loci across ALL chromosomes
+    (interspersed LINE/SINE-like repeats — the classic assembly
+    tangles); ``tandem_loci`` sites per genome where a short unit is
+    repeated ``tandem_copies`` times consecutively (satellite-like).
+    ``divergence`` mutates each planted copy independently (0 = exact
+    copies, the hardest case for an overlap graph).
+
+    Returns a list of int8 code arrays (one per chromosome).
+    """
+    rng = np.random.default_rng(seed)
+    lens = np.full(n_chromosomes, total_length // n_chromosomes)
+    lens[0] += total_length - lens.sum()
+    chroms = [
+        rng.integers(0, 4, size=int(ln), dtype=np.int8) for ln in lens
+    ]
+
+    def mutate(unit):
+        if divergence <= 0:
+            return unit
+        m = rng.random(unit.shape) < divergence
+        shift = rng.integers(1, 4, size=unit.shape)
+        return np.where(m, (unit + shift) % 4, unit).astype(np.int8)
+
+    # dispersed families planted across chromosomes
+    for _ in range(dispersed_families):
+        unit = rng.integers(0, 4, size=dispersed_len, dtype=np.int8)
+        for _ in range(dispersed_copies):
+            c = int(rng.integers(0, n_chromosomes))
+            g = chroms[c]
+            if len(g) <= dispersed_len:
+                continue
+            pos = int(rng.integers(0, len(g) - dispersed_len))
+            g[pos : pos + dispersed_len] = mutate(unit)
+
+    # tandem (satellite-like) arrays
+    for _ in range(tandem_loci):
+        unit = rng.integers(0, 4, size=tandem_unit, dtype=np.int8)
+        arr = np.concatenate([mutate(unit) for _ in range(tandem_copies)])
+        c = int(rng.integers(0, n_chromosomes))
+        g = chroms[c]
+        if len(g) <= len(arr):
+            continue
+        pos = int(rng.integers(0, len(g) - len(arr)))
+        g[pos : pos + len(arr)] = arr
+    return chroms
+
+
 def simulate_reads(
     genome: np.ndarray,
     read_len: int = 100,

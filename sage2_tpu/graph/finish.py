@@ -425,17 +425,18 @@ def mincost_paths(
     path_penalty: int = 150,
     flow_max_extra: int = 2,
     flow_max_component: int = 2000,
+    stats_out: Dict[str, int] | None = None,
 ) -> List[List[int]]:
     """True minimum-cost contig traversal (SAGE's namesake step): solves
     a min-cost circulation under the copy-count model and decomposes the
     flow into Euler trails — see graph.flowpaths for the objective and
     the algorithm. Components beyond ``flow_max_component`` condensed
-    nodes use greedy_budget_paths."""
+    nodes use greedy_budget_paths (``stats_out`` counts them)."""
     from sage2_tpu.graph.flowpaths import mincost_flow_paths
 
     return mincost_flow_paths(
         g, cap, path_penalty=path_penalty, max_extra=flow_max_extra,
-        max_component=flow_max_component,
+        max_component=flow_max_component, stats_out=stats_out,
     )
 
 

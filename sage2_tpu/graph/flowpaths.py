@@ -400,11 +400,17 @@ def mincost_flow_paths(
     path_penalty: int = 150,
     max_extra: int = 2,
     max_component: int = 2000,
+    stats_out: Dict[str, int] | None = None,
 ) -> List[List[int]]:
     """Minimum-cost contig paths over the unitig graph (module docstring
     has the objective). Returns uid paths; every unitig not covered by
-    any path is appended as a singleton so no sequence is lost."""
+    any path is appended as a singleton so no sequence is lost.
+    ``stats_out``: optional dict that receives component/fallback
+    counters (config #5 watches the greedy-fallback rate)."""
     if not g.unitigs:
+        if stats_out is not None:
+            stats_out.update(flow_components=0, flow_fallbacks=0,
+                             flow_largest_component=0)
         return []
     chains, chain_of = _condense_chains(g)
     cedges: Dict[Tuple[int, int], int] = {}
@@ -418,6 +424,14 @@ def mincost_flow_paths(
             if chains[ca].uids[-1] == uid and chains[cb].uids[0] == v:
                 cedges[(ca, cb)] = cedges.get((ca, cb), 0) + 1
     comp_list = _components(chains, set(cedges))
+    if stats_out is not None:
+        stats_out["flow_components"] = len(comp_list)
+        stats_out["flow_largest_component"] = max(
+            (len(c) for c in comp_list), default=0
+        )
+        stats_out["flow_fallbacks"] = sum(
+            1 for c in comp_list if len(c) > max_component
+        )
 
     paths: List[List[int]] = []
     covered: Set[int] = set()

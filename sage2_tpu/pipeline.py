@@ -807,12 +807,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             from sage2_tpu.graph.finish import mincost_paths
 
             annotate_copy_counts(g, c1)  # re-annotate post-cleaning
+            flow_stats: dict = {}
             paths = mincost_paths(
                 g, capn,
                 path_penalty=config.path_penalty,
                 flow_max_extra=config.flow_max_extra,
                 flow_max_component=config.flow_max_component,
+                stats_out=flow_stats,
             )
+            log.log("flow_traversal", **flow_stats)
         else:
             paths = join_paths(g)
         do_scaffold = (

@@ -39,4 +39,16 @@ class MetricsLog:
     def timed(self, stage: str, **fields: Any):
         t0 = time.perf_counter()
         yield
-        self.log(stage, seconds=time.perf_counter() - t0, **fields)
+        self.log(stage, seconds=time.perf_counter() - t0,
+                 peak_rss_mb=_peak_rss_mb(), **fields)
+
+
+def _peak_rss_mb() -> Optional[int]:
+    """Process high-water RSS in MB (monotone: the stage whose record
+    first shows a jump is the one that grew it)."""
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    except Exception:
+        return None
