@@ -208,6 +208,10 @@ def main() -> int:
     stack_secs = min(st_times)
     n_ver3 = np.asarray(out[5])
     assert not np.asarray(out[6]).any(), "stacked overflow"
+    # deferred duplicate-compaction contract: real duplicates need
+    # periodic reads — assert none so the lazily returned edge arrays
+    # are final (otherwise compact_stacked_result would apply)
+    assert not np.asarray(out[7]).any(), "stacked dup rows"
     # per-shard parity: stacked kernel == C++ baseline verified counts
     if base_verified:
         for kk in range(n_stack):

@@ -69,7 +69,10 @@ class OverlapResult(NamedTuple):
     exceeded capacity, rerun with a larger one (SURVEY.md §7 escape
     hatch). contained: (M,) bool — vertex is fully contained in a
     longer read (ragged inputs; all-False for fixed-length);
-    n_contained: scalar int32.
+    n_contained: scalar int32. n_dups: scalar int32 — only set by the
+    defer_dup_compact path (find_overlaps_stacked): number of
+    duplicate-(src,dst) rows still present in the edge arrays; the
+    caller compacts iff > 0 (essentially never — needs periodic reads).
     """
 
     src: jnp.ndarray
@@ -81,6 +84,7 @@ class OverlapResult(NamedTuple):
     overflow: jnp.ndarray
     contained: jnp.ndarray = None
     n_contained: jnp.ndarray = None
+    n_dups: jnp.ndarray = None
 
 
 # shared with the k-mer layer (ops.bitpack): word packings of every read
@@ -694,6 +698,7 @@ def find_overlaps(
     capacity: int = 1 << 20,
     stride: int | None = None,
     lengths: jnp.ndarray | None = None,
+    defer_dup_compact: bool = False,
 ) -> OverlapResult:
     """Detect all maximal proper exact suffix-prefix overlaps >= min_overlap.
 
@@ -749,22 +754,30 @@ def find_overlaps(
     )
     overflow = total > C
 
-    # containment marks (ragged inputs; identically empty for fixed L)
-    contained = (
-        jnp.zeros(M + 1, bool)
-        .at[jnp.where(ok_cont, cand_b, M)]
-        .set(True, mode="drop")[:M]
-    )
-    n_contained = jnp.sum(contained.astype(jnp.int32))
+    if lengths is not None:
+        # containment marks (ragged inputs only)
+        contained = (
+            jnp.zeros(M + 1, bool)
+            .at[jnp.where(ok_cont, cand_b, M)]
+            .set(True, mode="drop")[:M]
+        )
+        n_contained = jnp.sum(contained.astype(jnp.int32))
+    else:
+        # fixed-length: ok_contained is identically False (len_b == L
+        # and ovl = L - p0 < L for p0 >= 1), so skip the C-sized
+        # scatter — it measured ~5-7 ms/shard on the bench chip
+        contained = jnp.zeros(M, bool)
+        n_contained = jnp.zeros((), jnp.int32)
 
     # --- one-sort reduction (cond re-sort only on real duplicates) ------
-    k_src, k_dst, k_ovl, n_edges = _reduce_fused(
-        ok, cand_a, cand_b, ovl, L, M
+    k_src, k_dst, k_ovl, n_edges, n_dups = _reduce_fused(
+        ok, cand_a, cand_b, ovl, L, M,
+        defer_dup_compact=defer_dup_compact,
     )
     n_verified = jnp.sum(ok.astype(jnp.int32))
     return OverlapResult(
         k_src, k_dst, k_ovl, n_edges, total, n_verified, overflow,
-        contained, n_contained,
+        contained, n_contained, n_dups,
     )
 
 
@@ -920,18 +933,32 @@ def _reduce_fused(
     cand_ovl: jnp.ndarray,
     read_len: int,
     max_vertex: int,
+    defer_dup_compact: bool = False,
 ):
     """Longest-overlap-per-(src,dst) reduction with a cond-gated second
     sort: the compaction re-sort is needed only when some (src, dst)
     pair verified at MULTIPLE overlap lengths (possible only for
     periodic reads — essentially never on real data), so it runs under
     lax.cond and the common path costs a single 2-operand sort.
-    Output contract identical to reduce_edge_candidates."""
+
+    ``defer_dup_compact``: skip the cond entirely and hand ``n_dups``
+    to the caller, who compacts on the rare nonzero flag
+    (compact_reduced_edges). Inside lax.scan XLA lowers lax.cond to a
+    select — BOTH branches execute every iteration — so the stacked
+    path pays the second sort unconditionally unless deferred
+    (measured ~10 ms/shard, scripts/probe_stacked_full.py).
+
+    Returns (src, dst, ovl, n_edges, n_dups); output contract otherwise
+    identical to reduce_edge_candidates. When n_dups > 0 under
+    deferral, dup rows are still present (sorted; each group's LAST row
+    is the keeper) and n_edges already counts keepers only.
+    """
     ov_bits = int(read_len).bit_length()
     if max_vertex >= (1 << (31 - ov_bits)):
-        return reduce_edge_candidates(
+        k_src, k_dst, k_ovl, n_edges = reduce_edge_candidates(
             ok, cand_a, cand_b, cand_ovl, read_len, max_vertex
         )
+        return k_src, k_dst, k_ovl, n_edges, jnp.zeros((), jnp.int32)
     packed = (cand_b << ov_bits) | cand_ovl
     e_src = jnp.where(ok, cand_a, _I32_MAX)
     e_pk = jnp.where(ok, packed, _I32_MAX)
@@ -945,6 +972,12 @@ def _reduce_fused(
     n_edges = jnp.sum(keep.astype(jnp.int32))
     n_dups = jnp.sum(valid.astype(jnp.int32)) - n_edges
 
+    if defer_dup_compact:
+        pad = e_src == _I32_MAX
+        k_dst = jnp.where(pad, _I32_MAX, e_dst)
+        k_ovl = jnp.where(pad, 0, e_pk & ((1 << ov_bits) - 1))
+        return e_src, k_dst, k_ovl, n_edges, n_dups
+
     def with_dups():
         k_src = jnp.where(keep, e_src, _I32_MAX)
         k_pk = jnp.where(keep, e_pk, _I32_MAX)
@@ -957,7 +990,32 @@ def _reduce_fused(
     pad = k_src == _I32_MAX
     k_dst = jnp.where(pad, _I32_MAX, k_pk >> ov_bits)
     k_ovl = jnp.where(pad, 0, k_pk & ((1 << ov_bits) - 1))
-    return k_src, k_dst, k_ovl, n_edges
+    return k_src, k_dst, k_ovl, n_edges, n_dups
+
+
+def compact_reduced_edges(src, dst, ovl, read_len: int):
+    """Compaction fix-up for a defer_dup_compact edge list with
+    n_dups > 0: drop every non-last row of each (src, dst) group (the
+    last holds the longest overlap). One host-side numpy pass — this
+    runs only for periodic-read inputs."""
+    import numpy as np
+
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    ovl = np.asarray(ovl)
+    nxt_same = np.zeros(src.shape[0], bool)
+    nxt_same[:-1] = (src[:-1] == src[1:]) & (dst[:-1] == dst[1:])
+    keep = ~nxt_same
+    pad_to = src.shape[0]
+    k_src = np.full(pad_to, 2**31 - 1, np.int32)
+    k_dst = np.full(pad_to, 2**31 - 1, np.int32)
+    k_ovl = np.zeros(pad_to, np.int32)
+    kept = int(((src != 2**31 - 1) & keep).sum())
+    sel = keep & (src != 2**31 - 1)
+    k_src[:kept] = src[sel]
+    k_dst[:kept] = dst[sel]
+    k_ovl[:kept] = ovl[sel]
+    return k_src, k_dst, k_ovl
 
 
 @functools.lru_cache(maxsize=16)
@@ -965,9 +1023,11 @@ def _jitted_find_stacked(min_overlap: int, seed_len: int, capacity: int,
                          stride: int | None):
     def body(carry, rv):
         r, v = rv
-        res = find_overlaps(r, v, min_overlap, seed_len, capacity, stride)
+        res = find_overlaps(r, v, min_overlap, seed_len, capacity,
+                            stride, defer_dup_compact=True)
         return carry, (res.src, res.dst, res.ovl, res.n_edges,
-                       res.n_candidates, res.n_verified, res.overflow)
+                       res.n_candidates, res.n_verified, res.overflow,
+                       res.n_dups)
 
     def run(reads3, valid3):
         _, out = jax.lax.scan(body, 0, (reads3, valid3))
@@ -991,13 +1051,39 @@ def find_overlaps_stacked(
     per-dispatch fixed floor (jit call + relay round trip on the bench
     chip; SURVEY.md §3.3 north star) is paid ONCE for the whole stack —
     steady-state production shape: amortized per-shard cost is the
-    kernel's marginal work only. Returns stacked per-shard
-    (src, dst, ovl, n_edges, n_candidates, n_verified, overflow); each
+    kernel's marginal work only.
+
+    The duplicate-(src,dst) compaction is DEFERRED out of the scan:
+    under lax.scan XLA lowers lax.cond to a select that executes both
+    branches, so the in-kernel cond would pay its second sort on every
+    shard (~10 ms, probe_stacked_full). The scan emits per-shard
+    ``n_dups`` instead and this wrapper lazily returns edge arrays; the
+    caller must either check n_dups == 0 (bench does, outside its timed
+    loop — duplicates need periodic reads) or call
+    ``compact_stacked_result`` which fixes up any flagged shard on
+    host. Returns stacked per-shard (src, dst, ovl, n_edges,
+    n_candidates, n_verified, overflow, n_dups); with n_dups == 0 each
     shard's outputs are bit-identical to find_overlaps on that shard
     (asserted in tests and bench.py).
     """
     fn = _jitted_find_stacked(min_overlap, seed_len, capacity, stride)
     return fn(reads3, valid3)
+
+
+def compact_stacked_result(out, read_len: int):
+    """Host fix-up for find_overlaps_stacked: compact any shard whose
+    n_dups > 0. Returns (src, dst, ovl) host arrays."""
+    import numpy as np
+
+    src = np.array(out[0])
+    dst = np.array(out[1])
+    ovl = np.array(out[2])
+    dups = np.asarray(out[7])
+    for k in np.flatnonzero(dups):
+        src[k], dst[k], ovl[k] = compact_reduced_edges(
+            src[k], dst[k], ovl[k], read_len
+        )
+    return src, dst, ovl
 
 
 @functools.lru_cache(maxsize=64)

@@ -925,7 +925,7 @@ def sharded_find_overlaps(
         ovf_join = total > join_cap
 
         # --- local reduce, then route edges to their src owner ----------
-        k_src, k_dst, k_ovl, _n0 = _reduce_fused(
+        k_src, k_dst, k_ovl, _n0, _nd = _reduce_fused(
             ok, cand_a, cand_b, ovl, L, M
         )
         e_valid = k_src != _I32_MAX
@@ -936,7 +936,7 @@ def sharded_find_overlaps(
         )
 
         # --- final per-owner merge + dedup ------------------------------
-        f_src, f_dst, f_ovl, n_local = _reduce_fused(
+        f_src, f_dst, f_ovl, n_local, _nd2 = _reduce_fused(
             recv_e_valid, recv_e[:, 0], recv_e[:, 1], recv_e[:, 2], L, M
         )
         ovf_edges = n_local > edge_cap

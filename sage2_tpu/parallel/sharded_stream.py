@@ -459,7 +459,7 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
             min_overlap,
         )
         ovf_join = total > join_cap
-        k_src, k_dst, k_ovl, _n0 = _reduce_fused(
+        k_src, k_dst, k_ovl, _n0, _nd = _reduce_fused(
             ok, cand_a, cand_b, ovl, L, m_total
         )
         e_valid = k_src != _I32_MAX
@@ -504,7 +504,7 @@ def _merge_edges_step(mesh: Mesh, L: int, m_total: int, edge_cap: int):
     def step(edges3):
         e = edges3.reshape(-1, 3)
         valid = e[:, 0] != _I32_MAX
-        f_src, f_dst, f_ovl, n_local = _reduce_fused(
+        f_src, f_dst, f_ovl, n_local, _nd2 = _reduce_fused(
             valid, e[:, 0], e[:, 1], e[:, 2], L, m_total
         )
         ovf = n_local > edge_cap

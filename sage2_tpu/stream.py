@@ -384,7 +384,7 @@ def _ragged_join_kernel(s: int, geo, min_overlap: int, cap: int,
             .at[jnp.where(ok_cont, cand_b, m_total)]
             .set(True, mode="drop")[:m_total]
         )
-        k_src, k_dst, k_ovl, n_keep = _reduce_fused(
+        k_src, k_dst, k_ovl, n_keep, _nd = _reduce_fused(
             ok, cand_a, cand_b, ovl, L, m_total
         )
         return k_src, k_dst, k_ovl, n_keep, cont, total

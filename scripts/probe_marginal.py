@@ -115,7 +115,7 @@ def main():
             ok, okc, ca, cb, ovl, total = detect.fused_join_core(
                 k_hi, k_lo, packed, payrows, geo, L, C, min_ovl,
                 ids_are_positions=True)
-            ks, kd, ko, ne = detect._reduce_fused(ok, ca, cb, ovl, L,
+            ks, kd, ko, ne, _nd = detect._reduce_fused(ok, ca, cb, ovl, L,
                                                   r.shape[0])
             return (jnp.sum(ks.astype(jnp.uint32))
                     + jnp.sum(ne.astype(jnp.uint32)))

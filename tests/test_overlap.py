@@ -270,8 +270,16 @@ def test_stacked_matches_per_shard():
     out = find_overlaps_stacked(
         jnp.asarray(reads3), jnp.asarray(valid3), 20, capacity=cap
     )
-    src3, dst3, ovl3, n3, _nc3, nv3, ovf3 = (np.asarray(a) for a in out)
+    src3, dst3, ovl3, n3, _nc3, nv3, ovf3, dups3 = (
+        np.asarray(a) for a in out
+    )
     assert not ovf3.any()
+    # duplicate compaction is deferred out of the scan; fix up any
+    # flagged shard exactly as a production caller would
+    from sage2_tpu.overlap.detect import compact_stacked_result
+
+    if dups3.any():
+        src3, dst3, ovl3 = compact_stacked_result(out, reads3.shape[2])
     for k in range(K):
         ref = find_overlaps(
             jnp.asarray(reads3[k]), jnp.asarray(valid3[k]), 20, capacity=cap
@@ -303,3 +311,32 @@ def test_overlap_polyT_seeds_exact():
     got = _edges_to_dict(res)
     expect = oracle_overlaps(reads, min_ovl)
     assert got == expect
+
+
+def test_stacked_dup_compaction_periodic():
+    """Periodic reads create a (src,dst) pair verifying at two overlap
+    lengths; the stacked path defers compaction and flags n_dups, and
+    compact_stacked_result must reproduce the cond-path output."""
+    from sage2_tpu.overlap.detect import compact_stacked_result
+    from sage2_tpu.overlap import find_overlaps_stacked
+
+    rng = np.random.default_rng(61)
+    unit = np.array([0, 1, 2], np.int32)
+    L, min_ovl = 24, 6
+    A = np.concatenate([rng.integers(0, 4, 15), np.tile(unit, 3)])
+    B = np.tile(unit, 8)
+    reads = np.stack([A, B]).astype(np.int32)
+    ref = find_overlaps(
+        jnp.asarray(reads), jnp.ones(2, bool), min_ovl, capacity=256
+    )
+    out = find_overlaps_stacked(
+        jnp.asarray(reads[None]), jnp.ones((1, 2), bool), min_ovl,
+        capacity=256,
+    )
+    dups = np.asarray(out[7])
+    assert dups[0] > 0, "test setup should produce a duplicate pair"
+    src3, dst3, ovl3 = compact_stacked_result(out, L)
+    assert int(np.asarray(out[3])[0]) == int(ref.n_edges)
+    np.testing.assert_array_equal(src3[0], np.asarray(ref.src))
+    np.testing.assert_array_equal(dst3[0], np.asarray(ref.dst))
+    np.testing.assert_array_equal(ovl3[0], np.asarray(ref.ovl))
