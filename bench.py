@@ -25,7 +25,7 @@ Two device numbers are measured (BENCH detail carries both):
     edges are asserted bit-identical to the single-shard kernel.
 
 Env knobs: SAGE2_BENCH_READS (default 100000), SAGE2_BENCH_READLEN (100),
-SAGE2_BENCH_MINOVL (40), SAGE2_BENCH_REPEATS (3), SAGE2_BENCH_STACK (8).
+SAGE2_BENCH_MINOVL (40), SAGE2_BENCH_REPEATS (3), SAGE2_BENCH_STACK (16).
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ def main() -> int:
     read_len = int(os.environ.get("SAGE2_BENCH_READLEN", 100))
     min_ovl = int(os.environ.get("SAGE2_BENCH_MINOVL", 40))
     repeats = int(os.environ.get("SAGE2_BENCH_REPEATS", 3))
-    n_stack = int(os.environ.get("SAGE2_BENCH_STACK", 8))
+    n_stack = int(os.environ.get("SAGE2_BENCH_STACK", 16))
     coverage = 45.0
     genome_len = int(n_reads * read_len / coverage)
 
