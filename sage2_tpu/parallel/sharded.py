@@ -353,21 +353,24 @@ def partition_edges_by_src(
     dst = np.asarray(dst)
     ovl = np.asarray(ovl)
     v_d = -(-n_vertices // ndev)
-    real = src != (2**31 - 1)
-    counts = [
-        int(np.sum(real & (src >= d * v_d) & (src < (d + 1) * v_d)))
-        for d in range(ndev)
-    ]
-    e_d = -(-max(max(counts), 1) // pad_multiple) * pad_multiple
+    # src is sorted with INT32_MAX padding at the tail: device range
+    # boundaries come from one searchsorted over the device count —
+    # O(ndev log E), not the O(ndev * E) mask passes this used to do
+    # (they were a visible serial cost on the resume path at pod scale)
+    bounds = np.searchsorted(
+        src, np.arange(ndev + 1, dtype=np.int64) * v_d, side="left"
+    )
+    counts = np.diff(bounds)
+    e_d = -(-max(int(counts.max()), 1) // pad_multiple) * pad_multiple
     o_src = np.full((ndev, e_d), 2**31 - 1, np.int32)
     o_dst = np.full((ndev, e_d), 2**31 - 1, np.int32)
     o_ovl = np.zeros((ndev, e_d), np.int32)
     for d in range(ndev):
-        m = real & (src >= d * v_d) & (src < (d + 1) * v_d)
-        n = counts[d]
-        o_src[d, :n] = src[m]
-        o_dst[d, :n] = dst[m]
-        o_ovl[d, :n] = ovl[m]
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        n = hi - lo
+        o_src[d, :n] = src[lo:hi]
+        o_dst[d, :n] = dst[lo:hi]
+        o_ovl[d, :n] = ovl[lo:hi]
     return o_src, o_dst, o_ovl, v_d
 
 
@@ -378,11 +381,10 @@ def partition_vertex_range(values, n_vertices: int, ndev: int):
 
     values = np.asarray(values)
     v_d = -(-n_vertices // ndev)
-    out = np.zeros((ndev, v_d), values.dtype)
-    for d in range(ndev):
-        seg = values[d * v_d : (d + 1) * v_d]
-        out[d, : seg.shape[0]] = seg
-    return out
+    return np.pad(
+        values[: ndev * v_d],
+        (0, ndev * v_d - min(values.shape[0], ndev * v_d)),
+    ).reshape(ndev, v_d)
 
 
 def sharded_transitive_reduction(
@@ -801,11 +803,8 @@ def gather_cyclic_shards(shards, n_vertices: int):
     import numpy as np
 
     arr = np.asarray(shards)
-    ndev, v_d = arr.shape
-    out = np.empty(ndev * v_d, arr.dtype)
-    for d in range(ndev):
-        out[d::ndev] = arr[d]
-    return out[:n_vertices]
+    # global[j*ndev + d] = shard[d, j] — a transpose, not a device loop
+    return np.ascontiguousarray(arr.T).reshape(-1)[:n_vertices]
 
 
 # --------------------------------------------------------------------------
