@@ -321,3 +321,50 @@ def test_sharded_correct_voting_chunked_matches_single(mesh):
     )
     assert not overflow
     np.testing.assert_array_equal(out.astype(np.int32), single)
+
+
+def test_partition_edges_by_src_matches_bruteforce():
+    from sage2_tpu.parallel.sharded import (
+        gather_cyclic_shards,
+        partition_edges_by_src,
+        partition_vertex_range,
+    )
+
+    rng = np.random.default_rng(77)
+    V, ndev = 103, 8
+    E = 400
+    src = np.sort(rng.integers(0, V, size=E).astype(np.int32))
+    dst = rng.integers(0, V, size=E).astype(np.int32)
+    ovl = rng.integers(1, 50, size=E).astype(np.int32)
+    # (src, dst)-sort + pad tail
+    order = np.lexsort((dst, src))
+    src, dst, ovl = src[order], dst[order], ovl[order]
+    pad = 37
+    src = np.concatenate([src, np.full(pad, 2**31 - 1, np.int32)])
+    dst = np.concatenate([dst, np.full(pad, 2**31 - 1, np.int32)])
+    ovl = np.concatenate([ovl, np.zeros(pad, np.int32)])
+
+    o_src, o_dst, o_ovl, v_d = partition_edges_by_src(
+        src, dst, ovl, V, ndev, pad_multiple=16
+    )
+    for d in range(ndev):
+        m = (src != 2**31 - 1) & (src >= d * v_d) & (src < (d + 1) * v_d)
+        n = int(m.sum())
+        np.testing.assert_array_equal(o_src[d, :n], src[m])
+        np.testing.assert_array_equal(o_dst[d, :n], dst[m])
+        np.testing.assert_array_equal(o_ovl[d, :n], ovl[m])
+        assert (o_src[d, n:] == 2**31 - 1).all()
+
+    vals = rng.integers(0, 99, size=V).astype(np.int32)
+    parts = partition_vertex_range(vals, V, ndev)
+    for d in range(ndev):
+        seg = vals[d * v_d : (d + 1) * v_d]
+        np.testing.assert_array_equal(parts[d, : seg.shape[0]], seg)
+        assert (parts[d, seg.shape[0]:] == 0).all()
+
+    # cyclic gather: global[v] = shard[v % ndev, v // ndev]
+    v_c = -(-V // ndev)
+    sh = rng.integers(0, 9, size=(ndev, v_c)).astype(np.int32)
+    out = gather_cyclic_shards(sh, V)
+    for v in range(V):
+        assert out[v] == sh[v % ndev, v // ndev]
