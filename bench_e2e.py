@@ -73,6 +73,7 @@ def main() -> int:
     cfg = AssemblyConfig(
         k=25, min_overlap=40,
         max_device_reads=max_dev or None,
+        spill_dir=os.environ.get("SAGE2_E2E_SPILL_DIR") or None,
     )
     stage_secs = {}
 

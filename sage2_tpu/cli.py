@@ -58,6 +58,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="stream count/correct/dedup/overlap in chunks of"
                         " N reads when the input is larger (bounds device"
                         " memory; bit-identical to in-core)")
+    p.add_argument("--spill-dir", default=None, metavar="DIR",
+                   help="spill the streamed pipeline's big host arrays"
+                        " (corrected reads, read store, edge list) to"
+                        " memmaps under DIR, bounding host RSS by"
+                        " O(chunk + reduced graph); bit-identical"
+                        " results (requires --max-device-reads;"
+                        " single-device path)")
     p.add_argument("--paired", action="store_true",
                    help="treat input files as (R1, R2) pairs; mate"
                         " pairing survives dedup into the edges artifact"
@@ -88,6 +95,7 @@ def _config(args) -> "AssemblyConfig":
         reduce_backend=getattr(args, "reduce_backend", "auto"),
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else None,
         max_device_reads=getattr(args, "max_device_reads", None),
+        spill_dir=getattr(args, "spill_dir", None),
         scaffold=not getattr(args, "no_scaffold", False),
         min_mate_links=getattr(args, "min_mate_links", 3),
         insert_size=getattr(args, "insert_size", None),
@@ -182,7 +190,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 error_rate=args.error_rate, seed=args.seed + 1,
                 circular=args.circular,
             )
-            write_fastq(args.output, reads)
+            if args.output.endswith((".fa", ".fasta", ".fna")):
+                write_fasta(args.output, [r for r in reads.astype(np.int8)],
+                            prefix="read")
+            else:
+                write_fastq(args.output, reads)
             print(f"wrote {reads.shape[0]} reads x {args.read_len} bp "
                   f"to {args.output}", file=sys.stderr)
         if args.genome_out:

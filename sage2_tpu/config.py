@@ -77,6 +77,15 @@ class AssemblyConfig:
                                     # count/correct/dedup/overlap stream
                                     # in chunks of this many reads
                                     # (bit-identical to in-core).
+    spill_dir: Optional[str] = None  # host-side spill directory: the
+                                    # streamed pipeline's big host arrays
+                                    # (corrected reads, dedup'd read
+                                    # store, edge list) become memmaps
+                                    # there, bounding host RSS by
+                                    # O(chunk + reduced graph) instead of
+                                    # O(N*L + E). Placement-only: results
+                                    # are bit-identical, so it is NOT
+                                    # part of the config digest.
 
     def __post_init__(self) -> None:
         if not (1 < self.k <= 31):
@@ -105,6 +114,10 @@ class AssemblyConfig:
         d = dataclasses.asdict(self)
         if d["mesh_shape"] is not None:
             d["mesh_shape"] = list(d["mesh_shape"])
+        # spill_dir is a placement knob (memmap vs RAM staging) with
+        # bit-identical results — keep it out of the digest so spilled
+        # and in-RAM runs of the same assembly share manifests
+        d.pop("spill_dir", None)
         return d
 
     @classmethod

@@ -411,6 +411,62 @@ def transitive_reduction_native(
     )
 
 
+def transitive_reduction_spill(
+    store,
+    src: np.ndarray,
+    dst: np.ndarray,
+    ovl: np.ndarray,
+    n_vertices: int,
+    read_len,
+    n_threads: int | None = None,
+    window: int = 1 << 22,
+) -> ReducedGraph | None:
+    """Native reduction with O(window) host RAM: marks land in a spill
+    memmap and the kept edges are compacted window-by-window into
+    ``reduced_src``/``reduced_dst``/``reduced_ovl`` spill files
+    (VERDICT round-3 #4). Identical edge output to
+    transitive_reduction_native up to tail-padding length (padded to a
+    2^14 grain above n_edges instead of the input capacity). Returns
+    None when the native backend is unavailable.
+    """
+    from sage2_tpu.graph import reduce_native
+
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    ovl = np.ascontiguousarray(ovl, np.int32)
+    E = src.shape[0]
+    marks = store.empty("reduce_marks", np.uint8, (E,))
+    if isinstance(read_len, (int, np.integer)):
+        rl = int(read_len)
+    else:
+        rl = np.asarray(read_len, np.int32)
+    out = reduce_native.reduce_marks(
+        src, dst, ovl, n_vertices, rl, n_threads=n_threads,
+        removed_out=marks,
+    )
+    if out is None:
+        return None
+    _, total = out
+    writers = [store.writer(n, np.int32)
+               for n in ("reduced_src", "reduced_dst", "reduced_ovl")]
+    n_edges = 0
+    for w0 in range(0, E, window):
+        s = src[w0 : w0 + window]
+        keep = (s != 2**31 - 1) & (marks[w0 : w0 + window] == 0)
+        n_edges += int(keep.sum())
+        writers[0].append(s[keep])
+        writers[1].append(dst[w0 : w0 + window][keep])
+        writers[2].append(ovl[w0 : w0 + window][keep])
+    pad_to = max(1, -(-n_edges // (1 << 14)) * (1 << 14))
+    o_src = writers[0].close(pad_to=pad_to, fill=2**31 - 1)
+    o_dst = writers[1].close(pad_to=pad_to, fill=2**31 - 1)
+    o_ovl = writers[2].close(pad_to=pad_to, fill=0)
+    return ReducedGraph(
+        o_src, o_dst, o_ovl, np.int32(n_edges), np.int64(total),
+        np.bool_(False),
+    )
+
+
 def transitive_reduction_auto(
     src,
     dst,

@@ -108,12 +108,16 @@ def reduce_marks(
     n_vertices: int,
     read_len,
     n_threads: int | None = None,
+    removed_out: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int] | None:
     """Removal bitmask + exact expansion total, or None when unavailable.
 
     Inputs are the (src, dst)-sorted int32 edge arrays (padding
     src == INT32_MAX at the tail), exactly as the device kernels take
-    them; ``read_len`` is an int or a per-vertex length array.
+    them; ``read_len`` is an int or a per-vertex length array. Memmap
+    inputs pass straight through to the C++ side (no copy: ctypes reads
+    the pages via the OS cache). ``removed_out``: optional preallocated
+    (E,) uint8 destination (e.g. a spill memmap) for the marks.
     """
     lib = _load()
     if lib is None:
@@ -122,7 +126,12 @@ def reduce_marks(
     dst = np.ascontiguousarray(dst, np.int32)
     ovl = np.ascontiguousarray(ovl, np.int32)
     E = src.shape[0]
-    removed = np.zeros(E, np.uint8)
+    if removed_out is not None:
+        assert removed_out.shape == (E,) and removed_out.dtype == np.uint8
+        removed = removed_out
+        removed[:] = 0
+    else:
+        removed = np.zeros(E, np.uint8)
     if isinstance(read_len, (int, np.integer)):
         fixed, lens, lens_ptr = int(read_len), None, None
     else:
@@ -148,4 +157,7 @@ def reduce_marks(
             "sage2_transitive_reduce: malformed edge list (src/dst out of "
             "range or not (src, dst)-sorted)"
         )
+    if removed_out is not None:
+        # no bool copy: the caller reads its own (possibly memmap) buffer
+        return removed, int(total)
     return removed.astype(bool), int(total)

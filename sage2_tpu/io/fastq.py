@@ -102,6 +102,21 @@ def _to_ragged(seqs: Sequence[bytes]):
     return arr, lens
 
 
+def _is_fasta(path: str) -> bool:
+    """Format detection by CONTENT (first record byte: '>' FASTA,
+    '@' FASTQ), with the extension as tie-break for empty files.
+    Extension-only detection mis-parsed FASTQ content under a .fasta
+    name as one giant record (quality lines glued into the sequence)."""
+    with _open(path) as f:
+        head = f.read(64).lstrip()
+    if head.startswith(b">"):
+        return True
+    if head.startswith(b"@"):
+        return False
+    base = path[:-3] if path.endswith(".gz") else path
+    return base.endswith((".fa", ".fasta", ".fna"))
+
+
 def load_reads_ragged(paths: Sequence[str]):
     """Load FASTQ/FASTA files preserving every read at its own length.
 
@@ -111,10 +126,9 @@ def load_reads_ragged(paths: Sequence[str]):
     """
     seqs: List[bytes] = []
     for p in paths:
-        base = p[:-3] if p.endswith(".gz") else p
         with _open(p) as f:
             data = f.read()
-        if base.endswith((".fa", ".fasta", ".fna")):
+        if _is_fasta(p):
             seqs.extend(_parse_fasta_py(data))
         else:
             seqs.extend(_parse_fastq_py(data))
@@ -142,11 +156,11 @@ def read_fasta(path: str, length_policy: str = "strict") -> np.ndarray:
 def load_reads(
     paths: Sequence[str], length_policy: str = "strict"
 ) -> np.ndarray:
-    """Load and concatenate reads from FASTQ/FASTA files (gz ok)."""
+    """Load and concatenate reads from FASTQ/FASTA files (gz ok);
+    format detected from content (see _is_fasta)."""
     parts = []
     for p in paths:
-        base = p[:-3] if p.endswith(".gz") else p
-        if base.endswith((".fa", ".fasta", ".fna")):
+        if _is_fasta(p):
             parts.append(read_fasta(p, length_policy))
         else:
             parts.append(read_fastq(p, length_policy))

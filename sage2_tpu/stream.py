@@ -111,6 +111,7 @@ def find_overlaps_chunked(
     seed_len: int = 32,
     capacity_per_chunk: int = 1 << 20,
     stride: int | None = None,
+    store=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]:
     """Streamed strided overlap detection for reads larger than HBM.
 
@@ -129,6 +130,10 @@ def find_overlaps_chunked(
     (tested).
 
     Returns (src, dst, ovl, n_edges, overflow) as host arrays.
+    ``store`` (utils.spill.SpillStore): append per-chunk edges to
+    memmap files ``edges_src``/``edges_dst``/``edges_ovl`` (padded to a
+    2^14 grain with the I32_MAX sentinel) instead of holding the full
+    edge list in RAM.
     """
     from sage2_tpu.overlap import detect
 
@@ -187,6 +192,11 @@ def find_overlaps_chunked(
 
     # --- pass 2: per-chunk probe + expand + verify + reduce -------------
     chunks_out = []
+    writers = (
+        [store.writer(n, np.int32)
+         for n in ("edges_src", "edges_dst", "edges_ovl")]
+        if store is not None else None
+    )
     n_edges_total = 0
     overflow = False
     for i in range(0, M, chunk_reads):
@@ -224,14 +234,25 @@ def find_overlaps_chunked(
         )
         n_keep = int(n_keep_dev)
         n_edges_total += n_keep
-        chunks_out.append((
+        part = (
             np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
             np.asarray(k_ovl[:n_keep]),
-        ))
+        )
+        if writers is not None:
+            for w, a in zip(writers, part):
+                w.append(a)
+        else:
+            chunks_out.append(part)
         del words0c, chunk
 
     # chunks are processed in ascending a-range, so per-chunk sorted edge
     # lists concatenate into a globally (src, dst)-sorted list
+    if writers is not None:
+        pad_to = max(1, -(-n_edges_total // (1 << 14)) * (1 << 14))
+        src = writers[0].close(pad_to=pad_to, fill=2**31 - 1)
+        dst = writers[1].close(pad_to=pad_to, fill=2**31 - 1)
+        ovl = writers[2].close(pad_to=pad_to, fill=0)
+        return src, dst, ovl, n_edges_total, overflow
     src = np.concatenate([c[0] for c in chunks_out])
     dst = np.concatenate([c[1] for c in chunks_out])
     ovl = np.concatenate([c[2] for c in chunks_out])
@@ -256,6 +277,7 @@ def find_overlaps_chunked_ragged(
     chunk_reads: int,
     seed_len: int = 32,
     capacity_per_chunk: int = 1 << 20,
+    store=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray, bool]:
     """Streamed RAGGED overlap detection (fused-join formulation).
 
@@ -311,6 +333,11 @@ def find_overlaps_chunked_ragged(
     del ent_parts
 
     chunks_out = []
+    writers = (
+        [store.writer(n, np.int32)
+         for n in ("edges_raw_src", "edges_raw_dst", "edges_raw_ovl")]
+        if store is not None else None
+    )
     contained = np.zeros(M, bool)
     n_edges_total = 0
     overflow = False
@@ -325,16 +352,60 @@ def find_overlaps_chunked_ragged(
             overflow = True
         n_keep = int(n_keep_dev)
         n_edges_total += n_keep
-        chunks_out.append((
+        part = (
             np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
             np.asarray(k_ovl[:n_keep]),
-        ))
+        )
+        if writers is not None:
+            for w, a in zip(writers, part):
+                w.append(a)
+        else:
+            chunks_out.append(part)
         contained |= np.asarray(cont_c)
         del chunk
+    if writers is not None:
+        src = writers[0].close()
+        dst = writers[1].close()
+        ovl = writers[2].close()
+        return src, dst, ovl, n_edges_total, contained, overflow
     src = np.concatenate([c[0] for c in chunks_out])
     dst = np.concatenate([c[1] for c in chunks_out])
     ovl = np.concatenate([c[2] for c in chunks_out])
     return src, dst, ovl, n_edges_total, contained, overflow
+
+
+def compact_pad_edges_spill(
+    store, e_src, e_dst, e_ovl, n_raw: int,
+    cont: Optional[np.ndarray] = None,
+    window: int = 1 << 22,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Windowed containment-filter + sentinel-pad of a raw spilled edge
+    list into the final ``edges_*`` spill files (O(window) host RAM).
+
+    ``cont``: per-vertex containment mask; edges touching a contained
+    vertex drop (None = keep all). Output layout matches the in-RAM
+    path: kept edges in original order, padded to a 2^14 grain with
+    (I32_MAX, I32_MAX, 0) rows.
+    """
+    writers = [store.writer(n, np.int32)
+               for n in ("edges_src", "edges_dst", "edges_ovl")]
+    n_out = 0
+    for w0 in range(0, n_raw, window):
+        s = np.asarray(e_src[w0 : w0 + window])
+        d = np.asarray(e_dst[w0 : w0 + window])
+        o = np.asarray(e_ovl[w0 : w0 + window])
+        if cont is not None:
+            keep = ~(cont[s] | cont[d])
+            s, d, o = s[keep], d[keep], o[keep]
+        n_out += s.shape[0]
+        writers[0].append(s)
+        writers[1].append(d)
+        writers[2].append(o)
+    pad_to = max(1, -(-n_out // (1 << 14)) * (1 << 14))
+    src = writers[0].close(pad_to=pad_to, fill=2**31 - 1)
+    dst = writers[1].close(pad_to=pad_to, fill=2**31 - 1)
+    ovl = writers[2].close(pad_to=pad_to, fill=0)
+    return src, dst, ovl, n_out
 
 
 @functools.lru_cache(maxsize=8)
@@ -408,6 +479,7 @@ def _ragged_query_join(entries, chunk, cvalid, lens_c, s, geo, base,
 def prepare_reads_chunked(
     reads: np.ndarray, chunk_reads: int,
     lengths: Optional[np.ndarray] = None,
+    store=None,
 ) -> Tuple:
     """Host-side read dedup + RC augmentation for larger-than-HBM sets.
 
@@ -476,25 +548,30 @@ def prepare_reads_chunked(
     gid_in[order] = group_id.astype(np.int32)
     vertex_of_read = gid_in + np.where(take_rc, N, 0).astype(np.int32)
 
-    if lengths is not None:
-        base = np.where(
-            np.arange(L)[None, :] < np.asarray(lengths)[:, None],
-            reads, 0,
-        ).astype(np.int8)
-        uniq = base[rep]
-        lens_u = np.asarray(lengths, np.int32)[rep]
-        flip = take_rc[rep]
-        uniq[flip] = _revcomp_ragged_np(uniq[flip], lens_u[flip])
-        rc_u = _revcomp_ragged_np(uniq, lens_u)
-    else:
-        uniq = reads[rep].astype(np.int8)
-        flip = take_rc[rep]
-        uniq[flip] = (3 - uniq[flip])[:, ::-1]
-        rc_u = (3 - uniq)[:, ::-1]
-
-    reads2 = np.zeros((2 * N, L), np.int8)
-    reads2[:n_unique] = uniq
-    reads2[N : N + n_unique] = rc_u
+    reads2 = (
+        store.empty("reads2", np.int8, (2 * N, L)) if store is not None
+        else np.zeros((2 * N, L), np.int8)
+    )
+    lens_u = (np.asarray(lengths, np.int32)[rep]
+              if lengths is not None else None)
+    # representative rows gather + orient in WINDOWS so peak RAM stays
+    # O(chunk) even when reads/reads2 are spill memmaps (VERDICT r3 #4)
+    for w0 in range(0, n_unique, chunk_reads):
+        rw = rep[w0 : w0 + chunk_reads]
+        u = np.asarray(reads[rw], np.int8)
+        f = take_rc[rw]
+        if lengths is not None:
+            lu = lens_u[w0 : w0 + chunk_reads]
+            u = np.where(
+                np.arange(L)[None, :] < lu[:, None], u, 0
+            ).astype(np.int8)
+            u[f] = _revcomp_ragged_np(u[f], lu[f])
+            ru = _revcomp_ragged_np(u, lu)
+        else:
+            u[f] = (3 - u[f])[:, ::-1]
+            ru = (3 - u)[:, ::-1]
+        reads2[w0 : w0 + rw.shape[0]] = u
+        reads2[N + w0 : N + w0 + rw.shape[0]] = ru
     valid2 = np.zeros(2 * N, bool)
     valid2[:n_unique] = True
     valid2[N : N + n_unique] = True
@@ -517,6 +594,7 @@ def correct_reads_chunked(
     chunk_reads: int,
     rule: str = "single_window",
     lengths: Optional[np.ndarray] = None,
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Spectrum correction streamed in chunks.
 
@@ -537,8 +615,15 @@ def correct_reads_chunked(
         twophase_round,
     )
 
-    out = np.array(reads, dtype=np.int8, copy=True)
-    N = out.shape[0]
+    N = reads.shape[0]
+    if out is None:
+        out = np.array(reads, dtype=np.int8, copy=True)
+    else:
+        # caller-provided destination (e.g. a spill memmap): initialize
+        # in windows so peak RAM stays O(chunk)
+        assert out.shape == reads.shape and out.dtype == np.int8
+        for i in range(0, N, chunk_reads):
+            out[i : i + chunk_reads] = reads[i : i + chunk_reads]
     for _ in range(rounds):
         table = count_kmers_chunked(out, k, chunk_reads, lengths=lengths)
         pruned = (

@@ -153,3 +153,38 @@ def test_paired_ingest_and_artifact(tmp_path):
             reads2[pairs[j, 0]], r1[j].astype(np.int8))
         np.testing.assert_array_equal(
             reads2[pairs[j, 1]], r2[j].astype(np.int8))
+
+
+def test_format_detection_by_content(tmp_path):
+    """FASTQ content under a .fasta name (and vice versa) parses by
+    CONTENT: extension-only detection glued quality lines into one
+    giant record."""
+    genome = simulate_genome(500, seed=321)
+    reads, _ = simulate_reads(genome, read_len=50, coverage=6,
+                              error_rate=0.0, seed=322)
+    misnamed_fq = str(tmp_path / "actually_fastq.fasta")
+    write_fastq(misnamed_fq, reads)
+    got = load_reads([misnamed_fq])
+    np.testing.assert_array_equal(got, reads.astype(np.int8))
+
+    from sage2_tpu.io.writer import write_fasta
+
+    misnamed_fa = str(tmp_path / "actually_fasta.fastq")
+    write_fasta(misnamed_fa, [r.astype(np.int8) for r in reads],
+                prefix="read")
+    got = load_reads([misnamed_fa])
+    np.testing.assert_array_equal(got, reads.astype(np.int8))
+
+    ragged, lens = fastq.load_reads_ragged([misnamed_fq])
+    assert (lens == 50).all() and ragged.shape[0] == reads.shape[0]
+
+
+def test_cli_simulate_fasta_extension(tmp_path, capsys):
+    out = str(tmp_path / "reads.fasta")
+    main(["simulate", "--genome-len", "400", "--read-len", "40",
+          "--coverage", "4", "--out", out])
+    with open(out) as f:
+        head = f.read(1)
+    assert head == ">"
+    reads = load_reads([out])
+    assert reads.shape[1] == 40 and reads.shape[0] >= 30
