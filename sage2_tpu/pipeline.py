@@ -52,6 +52,7 @@ def _save(outdir: Optional[str], name: str, **arrays) -> None:
 def _manifest(outdir: Optional[str], config: AssemblyConfig, stage: str) -> None:
     if not outdir:
         return
+    os.makedirs(outdir, exist_ok=True)  # spill runs skip the big _save
     path = os.path.join(outdir, "manifest.json")
     m = {"config": config.to_dict(), "config_digest": config.digest(),
          "stages": []}

@@ -609,6 +609,10 @@ def correct_reads_chunked(
     (kmer.correct.twophase_round — bit-identical, tested) with the
     global table pruned once per round; the voting rule keeps the dense
     per-chunk kernel.
+
+    ``out``: optional preallocated (N, L) int8 destination (e.g. a
+    spill memmap) that the corrected reads are written into chunk by
+    chunk; peak host RAM then stays O(chunk).
     """
     from sage2_tpu.kmer.correct import (
         prune_table_for_correction,

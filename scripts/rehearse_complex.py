@@ -92,7 +92,10 @@ def main() -> int:
         f"{coverage}x, err {err}, repeat divergence {divergence}) "
         f"[simulated in {time.perf_counter()-t0:.1f}s]")
 
-    cfg = AssemblyConfig(k=25, min_overlap=40, max_device_reads=chunk)
+    cfg = AssemblyConfig(
+        k=25, min_overlap=40, max_device_reads=chunk,
+        spill_dir=os.environ.get("SAGE2_CPLX_SPILL_DIR") or None,
+    )
     stage_secs = {}
     extra = {}
 
