@@ -984,3 +984,29 @@ def gather_edge_shards(
     out_dst[:n] = dst[keep]
     out_ovl[:n] = ovl[keep]
     return out_src, out_dst, out_ovl
+
+
+def gather_edge_shards_spill(store, src_sh, dst_sh, ovl_sh, n_edges):
+    """gather_edge_shards into spill memmaps ``edges_*`` one device
+    shard at a time: host RAM stays O(shard), not O(global edges).
+    Device order == src-range order, so per-shard compacted runs
+    concatenate into the globally sorted list; sentinel-padded to a
+    2^14 grain (the streamed pipeline's edge-list format)."""
+    import numpy as np
+
+    writers = [store.writer(n, np.int32)
+               for n in ("edges_src", "edges_dst", "edges_ovl")]
+    total = 0
+    for d in range(src_sh.shape[0]):
+        s = np.asarray(src_sh[d])
+        keep = s != (2**31 - 1)
+        writers[0].append(s[keep])
+        writers[1].append(np.asarray(dst_sh[d])[keep])
+        writers[2].append(np.asarray(ovl_sh[d])[keep])
+        total += int(keep.sum())
+    assert total == int(n_edges), (total, int(n_edges))
+    pad_to = max(1, -(-total // (1 << 14)) * (1 << 14))
+    src = writers[0].close(pad_to=pad_to, fill=2**31 - 1)
+    dst = writers[1].close(pad_to=pad_to, fill=2**31 - 1)
+    ovl = writers[2].close(pad_to=pad_to, fill=0)
+    return src, dst, ovl

@@ -288,16 +288,24 @@ def sharded_correct_reads_chunked(
     table_cap: int,
     lengths: np.ndarray | None = None,
     rule: str = "single_window",
+    out: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, bool]:
     """Streamed sharded correction: per round, the global sharded table
     is rebuilt by chunked routed counting, then every chunk applies the
     configured rule (single-window sub-passes or covering-window
     voting) with routed lookups. Bit-identical to kmer.correct_reads /
     stream.correct_reads_chunked with the same rule (tested).
-    ``lengths``: ragged (0-padded) reads."""
+    ``lengths``: ragged (0-padded) reads. ``out``: optional
+    preallocated (N, L) int8 destination (e.g. a spill memmap) filled
+    chunk by chunk — peak host RAM then stays O(chunk)."""
     ndev = mesh.devices.size
-    out = np.array(reads, dtype=np.int8, copy=True)
-    N = out.shape[0]
+    N = reads.shape[0]
+    if out is None:
+        out = np.array(reads, dtype=np.int8, copy=True)
+    else:
+        assert out.shape == reads.shape and out.dtype == np.int8
+        for i in range(0, N, chunk_reads):
+            out[i : i + chunk_reads] = reads[i : i + chunk_reads]
     rows = min(chunk_reads, N)
     rows += (-rows) % ndev
     ragged = lengths is not None

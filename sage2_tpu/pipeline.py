@@ -166,14 +166,14 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
     # arrays become memmaps under spill_dir so host RSS stays
     # O(chunk + reduced graph); bit-identical results (tested)
     store = None
-    if config.spill_dir and stream_chunk is not None and mesh is None:
+    if config.spill_dir and stream_chunk is not None:
         from sage2_tpu.utils.spill import SpillStore
 
         store = SpillStore(config.spill_dir)
-        log.log("spill", dir=config.spill_dir)
+        log.log("spill", dir=config.spill_dir, meshed=mesh is not None)
     elif config.spill_dir:
-        log.log("spill_skipped", reason="spill requires the streamed "
-                "single-device path (set max_device_reads; mesh=None)")
+        log.log("spill_skipped", reason="spill requires a streamed path "
+                "(set max_device_reads below the input size)")
 
     lengths_dev = None if lengths is None else jnp.asarray(
         np.asarray(lengths, np.int32)
@@ -204,6 +204,9 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                         route_cap=cap, query_cap=cap, table_cap=tcap,
                         lengths=lengths,
                         rule=config.correction_rule,
+                        out=(store.empty("corrected", np.int8,
+                                         reads.shape)
+                             if store is not None else None),
                     )
                 if not ovf:
                     break
@@ -294,7 +297,8 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             with log.timed("dedup", streamed=True):
                 (reads2_np, valid2_np, mult_np, n_uniq, vread_np,
                  lengths2_stream) = prepare_reads_chunked(
-                    corrected_np, stream_chunk, lengths=lengths
+                    corrected_np, stream_chunk, lengths=lengths,
+                    store=store,
                 )
             nd = mesh.devices.size
             M2 = reads2_np.shape[0]
@@ -345,10 +349,20 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 edge_chunk_cap=edge_chunk_cap, edge_cap=edge_cap,
                 global_reads=M2,
             )
-            edges = (
-                gather_edge_shards(src_sh, dst_sh, ovl_sh, n_edges_i)
-                if (outdir or lengths is not None) else None
-            )
+            if store is not None and lengths is None and outdir:
+                # spill the artifact gather one device shard at a time
+                from sage2_tpu.parallel.sharded import (
+                    gather_edge_shards_spill,
+                )
+
+                edges = gather_edge_shards_spill(
+                    store, src_sh, dst_sh, ovl_sh, n_edges_i
+                )
+            else:
+                edges = (
+                    gather_edge_shards(src_sh, dst_sh, ovl_sh, n_edges_i)
+                    if (outdir or lengths is not None) else None
+                )
             if lengths is not None:
                 # SAGE containment removal (ragged, streamed+meshed);
                 # the edge set changes on host -> drop device chaining
@@ -383,9 +397,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 extra["mate_pairs"] = mate_pairs_np
                 log.log("mate_pairs", n_pairs=len(mate_pairs_np))
             if outdir and edges is not None:
-                _save(outdir, "edges", src=edges[0], dst=edges[1],
-                      ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
-                      valid2=valid2_np, multiplicity=mult_np, **extra)
+                if store is not None and store.exists("edges_src"):
+                    _save(outdir, "edges", n_edges=n_edges_i,
+                          valid2=valid2_np, multiplicity=mult_np,
+                          **extra)
+                else:
+                    _save(outdir, "edges", src=edges[0], dst=edges[1],
+                          ovl=edges[2], n_edges=n_edges_i,
+                          reads2=reads2_np, valid2=valid2_np,
+                          multiplicity=mult_np, **extra)
                 _manifest(outdir, config, "overlap")
             rs = None
         elif stream_chunk is not None:

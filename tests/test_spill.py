@@ -145,3 +145,33 @@ def test_assemble_spill_resume(tmp_path):
     assert full[1] == resumed[1]
     for a, b in zip(full[0], resumed[0]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_assemble_spill_streamed_meshed(tmp_path):
+    """Spill composes with streaming x mesh (config #4 shape): corrected
+    reads + dedup'd store + gathered edge artifact live in memmaps,
+    output bit-identical, and resume re-enters from the spill files."""
+    from dataclasses import replace
+
+    from sage2_tpu.config import AssemblyConfig
+    from sage2_tpu.pipeline import assemble
+
+    _, reads = _reads(n_genome=1500, read_len=50, cov=13, err=0.01,
+                      seed=571)
+    cfg = AssemblyConfig(k=15, min_overlap=25, min_contig_len=150)
+    single, s_stats = assemble(reads, cfg)
+    out = str(tmp_path / "out")
+    both = replace(cfg, mesh_shape=(8,), max_device_reads=128,
+                   spill_dir=str(tmp_path / "spill"))
+    spilled, sp_stats = assemble(reads, both, outdir=out)
+    assert s_stats == sp_stats
+    for a, b in zip(single, spilled):
+        np.testing.assert_array_equal(a, b)
+    st = SpillStore(str(tmp_path / "spill"))
+    assert st.exists("corrected") and st.exists("reads2")
+    assert st.exists("edges_src")
+    resumed, r_stats = assemble(reads, both, outdir=out,
+                                resume_from="reduce")
+    assert r_stats == sp_stats
+    for a, b in zip(spilled, resumed):
+        np.testing.assert_array_equal(a, b)
