@@ -210,7 +210,11 @@ def find_overlaps_chunked(
         lo_idx, counts = detect.probe_seed_table(st, a_hi, cvalid)
         n_cand = int(jnp.sum(counts))
         if n_cand > capacity_per_chunk:
+            # fail FAST: the pass is doomed — finishing the remaining
+            # chunks only to retry wastes a full streamed pass (the
+            # sharded path has failed fast since round 3)
             overflow = True
+            break
         entry, rank, lo_of_entry, cand_valid = expand_with_payload(
             counts.reshape(-1), lo_idx.reshape(-1), capacity_per_chunk
         )
@@ -245,6 +249,12 @@ def find_overlaps_chunked(
             chunks_out.append(part)
         del words0c, chunk
 
+    if overflow:
+        if writers is not None:
+            for w in writers:
+                w.close()
+        empty = np.zeros(0, np.int32)
+        return empty, empty, empty, 0, True
     # chunks are processed in ascending a-range, so per-chunk sorted edge
     # lists concatenate into a globally (src, dst)-sorted list
     if writers is not None:
@@ -350,6 +360,7 @@ def find_overlaps_chunked_ragged(
         k_src, k_dst, k_ovl, n_keep_dev, cont_c, total = out
         if int(total) > capacity_per_chunk:
             overflow = True
+            break       # fail fast: the pass is doomed (see above)
         n_keep = int(n_keep_dev)
         n_edges_total += n_keep
         part = (
@@ -363,6 +374,12 @@ def find_overlaps_chunked_ragged(
             chunks_out.append(part)
         contained |= np.asarray(cont_c)
         del chunk
+    if overflow:
+        if writers is not None:
+            for w in writers:
+                w.close()
+        empty = np.zeros(0, np.int32)
+        return empty, empty, empty, 0, contained, True
     if writers is not None:
         src = writers[0].close()
         dst = writers[1].close()
