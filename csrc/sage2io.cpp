@@ -137,6 +137,8 @@ void parse_fasta_buf(std::vector<char>& data, int policy, Parsed* out) {
       if (p[0] == '>') {
         if (cur_start) seqs.push_back({cur_start, w - cur_start});
         cur_start = w;
+      } else if (p[0] == ';') {
+        // legacy FASTA comment line: skip (matches _parse_fasta_py)
       } else if (cur_start) {
         memmove(w, p, len);
         w += len;

@@ -52,6 +52,8 @@ def _parse_fasta_py(data: bytes) -> List[bytes]:
             if cur:
                 seqs.append(b"".join(cur))
                 cur = []
+        elif line.startswith(b";"):
+            continue  # legacy FASTA comment line
         elif line:
             cur.append(line.strip())
     if cur:
@@ -106,13 +108,25 @@ def _is_fasta(path: str) -> bool:
     """Format detection by CONTENT (first record byte: '>' FASTA,
     '@' FASTQ), with the extension as tie-break for empty files.
     Extension-only detection mis-parsed FASTQ content under a .fasta
-    name as one giant record (quality lines glued into the sequence)."""
+    name as one giant record (quality lines glued into the sequence).
+    Scans line by line past blank lines and legacy ';' FASTA comment
+    lines (ADVICE r4: a fixed 64-byte head missed records behind long
+    leading whitespace or ';' comments)."""
     with _open(path) as f:
-        head = f.read(64).lstrip()
-    if head.startswith(b">"):
-        return True
-    if head.startswith(b"@"):
-        return False
+        for _ in range(64):  # bounded: don't scan a huge malformed file
+            line = f.readline(1 << 16)
+            if not line:
+                break
+            s = line.strip()
+            if not s:
+                continue
+            if s.startswith(b";"):  # legacy FASTA comment line
+                return True
+            if s.startswith(b">"):
+                return True
+            if s.startswith(b"@"):
+                return False
+            break  # first non-blank line is neither — fall to extension
     base = path[:-3] if path.endswith(".gz") else path
     return base.endswith((".fa", ".fasta", ".fna"))
 

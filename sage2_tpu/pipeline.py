@@ -49,7 +49,8 @@ def _save(outdir: Optional[str], name: str, **arrays) -> None:
         np.savez_compressed(os.path.join(outdir, name + ".npz"), **arrays)
 
 
-def _manifest(outdir: Optional[str], config: AssemblyConfig, stage: str) -> None:
+def _manifest(outdir: Optional[str], config: AssemblyConfig, stage: str,
+              spilled: bool = False) -> None:
     if not outdir:
         return
     os.makedirs(outdir, exist_ok=True)  # spill runs skip the big _save
@@ -64,6 +65,10 @@ def _manifest(outdir: Optional[str], config: AssemblyConfig, stage: str) -> None
              "stages": []}
     if stage not in m["stages"]:
         m["stages"].append(stage)
+    # big arrays live in the spill store, not the npz artifacts — a
+    # resume of this outdir needs the same --spill-dir (ADVICE r4)
+    if spilled:
+        m["spilled"] = True
     with open(path, "w") as f:
         json.dump(m, f, indent=1)
 
@@ -170,10 +175,40 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         from sage2_tpu.utils.spill import SpillStore
 
         store = SpillStore(config.spill_dir)
+        # resume must not trust a stale/mismatched spill dir: the store
+        # records the config digest at run start and a resume validates
+        # it (spill_dir itself is excluded from the digest, so the same
+        # digest means "same pipeline semantics") — ADVICE r4
+        if resume_from:
+            d = store.get_meta("config_digest")
+            if d is not None and d != config.digest():
+                raise ValueError(
+                    f"spill dir {config.spill_dir} was written by a run "
+                    f"with a different config (digest {d} != "
+                    f"{config.digest()}); its arrays do not match this "
+                    f"resume — point --spill-dir at the original run's "
+                    f"spill directory"
+                )
+        else:
+            store.set_meta("config_digest", config.digest())
         log.log("spill", dir=config.spill_dir, meshed=mesh is not None)
     elif config.spill_dir:
         log.log("spill_skipped", reason="spill requires a streamed path "
                 "(set max_device_reads below the input size)")
+
+    if resume_from and store is None and outdir:
+        # the original run may have spilled its big arrays — resuming
+        # without the spill store would die on missing npz keys/files
+        # deep in a stage (ADVICE r4: fail here, with a real message)
+        mpath = os.path.join(outdir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                if json.load(f).get("spilled"):
+                    raise ValueError(
+                        f"{outdir} was produced by a run that spilled its "
+                        f"stage arrays to a spill store; resume with the "
+                        f"same --spill-dir"
+                    )
 
     lengths_dev = None if lengths is None else jnp.asarray(
         np.asarray(lengths, np.int32)
@@ -279,7 +314,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             corrected_np = np.asarray(corrected, dtype=np.int8)
         if store is None:
             _save(outdir, "corrected", reads=corrected_np)
-        _manifest(outdir, config, "correct")
+        _manifest(outdir, config, "correct", spilled=store is not None)
     elif store is not None and store.exists("corrected"):
         corrected_np = store.load("corrected")
     else:
@@ -406,7 +441,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                           ovl=edges[2], n_edges=n_edges_i,
                           reads2=reads2_np, valid2=valid2_np,
                           multiplicity=mult_np, **extra)
-                _manifest(outdir, config, "overlap")
+                _manifest(outdir, config, "overlap", spilled=store is not None)
             rs = None
         elif stream_chunk is not None:
             from sage2_tpu.stream import (
@@ -512,7 +547,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 _save(outdir, "edges", src=edges[0], dst=edges[1],
                       ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
                       valid2=valid2_np, multiplicity=mult_np, **extra)
-            _manifest(outdir, config, "overlap")
+            _manifest(outdir, config, "overlap", spilled=store is not None)
             rs = None
         else:
             rs = prepare_reads(
@@ -681,7 +716,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                 _save(outdir, "edges", src=edges[0], dst=edges[1],
                       ovl=edges[2], n_edges=n_edges_i, reads2=reads2_np,
                       valid2=valid2_np, multiplicity=mult_np, **extra)
-                _manifest(outdir, config, "overlap")
+                _manifest(outdir, config, "overlap", spilled=store is not None)
         if rs is not None and rs.lengths2 is not None:
             lengths2_np = np.asarray(rs.lengths2)
         elif stream_chunk is not None and lengths is not None:
@@ -694,6 +729,15 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             edges = (store.load("edges_src"), store.load("edges_dst"),
                      store.load("edges_ovl"))
             reads2_np = store.load("reads2")
+        elif "src" not in z:
+            # the original run spilled the edge arrays; edges.npz carries
+            # only the small metadata (ADVICE r4: fail with a real
+            # message, not KeyError('src'))
+            raise ValueError(
+                f"edges.npz in {outdir} has no edge arrays — the original "
+                f"run wrote them to a spill store; resume with the same "
+                f"--spill-dir"
+            )
         else:
             edges = (z["src"], z["dst"], z["ovl"])
             reads2_np = z["reads2"]
@@ -809,10 +853,16 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
             red_n, red_exp = int(red.n_edges), int(red.n_expansions)
         log.log("reduce_result", n_edges=red_n, n_expansions=red_exp)
         redges = red_edges
-        if store is None:
+        # reduced_* spill files are produced only by
+        # transitive_reduction_spill (single-device auto/native path);
+        # meshed spill runs, reduce_backend='device', and the
+        # native-unavailable fallback must still persist the reduced
+        # graph or resume_from='traverse'/'finish' has nothing to load
+        # (ADVICE r4 medium)
+        if store is None or not store.exists("reduced_src"):
             _save(outdir, "reduced", src=redges[0], dst=redges[1],
                   ovl=redges[2])
-        _manifest(outdir, config, "reduce")
+        _manifest(outdir, config, "reduce", spilled=store is not None)
     elif store is not None and store.exists("reduced_src"):
         redges = (store.load("reduced_src"), store.load("reduced_dst"),
                   store.load("reduced_ovl"))

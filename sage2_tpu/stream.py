@@ -103,6 +103,15 @@ def _compact(table: KmerTable) -> KmerTable:
     )
 
 
+# Block-nested entry chunking (BASELINE.md round-4 "streamed-join HBM
+# ceiling"): when the GLOBAL seed slab + its M*g-row sort would exceed
+# HBM (~8-10M vertices on a 16 GB chip), the entry side streams too.
+# Auto-engages above _BLOCK_ENGAGE_ROWS seed rows; each block holds
+# ~_BLOCK_TARGET_ROWS rows (slab ~0.5 GB at production widths).
+_BLOCK_ENGAGE_ROWS = 48 * 1024 * 1024
+_BLOCK_TARGET_ROWS = 24 * 1024 * 1024
+
+
 def find_overlaps_chunked(
     reads2: np.ndarray,
     valid2: np.ndarray,
@@ -112,6 +121,7 @@ def find_overlaps_chunked(
     capacity_per_chunk: int = 1 << 20,
     stride: int | None = None,
     store=None,
+    entry_block_reads: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]:
     """Streamed strided overlap detection for reads larger than HBM.
 
@@ -134,6 +144,14 @@ def find_overlaps_chunked(
     memmap files ``edges_src``/``edges_dst``/``edges_ovl`` (padded to a
     2^14 grain with the I32_MAX sentinel) instead of holding the full
     edge list in RAM.
+
+    ``entry_block_reads``: stream the ENTRY side too (block-nested
+    join) — build the seed table + slab for blocks of this many reads
+    and probe every query chunk against every block. None = auto:
+    engages when the global seed-row count exceeds _BLOCK_ENGAGE_ROWS
+    (the measured single-device HBM ceiling class); pass a value >= the
+    read count to force the single-slab path. Bit-identical to the
+    single-slab path (tested with tiny blocks).
     """
     from sage2_tpu.overlap import detect
 
@@ -143,6 +161,14 @@ def find_overlaps_chunked(
     g = detect.auto_stride(min_overlap, s, pa) if stride is None else stride
     n_pos = -(-pa // g)
     I32_MAX = np.int32(2**31 - 1)
+
+    if entry_block_reads is None and M * g > _BLOCK_ENGAGE_ROWS:
+        entry_block_reads = max(chunk_reads, _BLOCK_TARGET_ROWS // g)
+    if entry_block_reads is not None and entry_block_reads < M:
+        return _find_overlaps_chunked_blocked(
+            reads2, valid2, min_overlap, chunk_reads, s, g, n_pos, pa,
+            capacity_per_chunk, store, entry_block_reads,
+        )
 
     # --- pass 1: chunked B-side seed keys; single final sort -----------
     # bucket-only ordering (see detect.build_seed_table): operands are
@@ -252,7 +278,7 @@ def find_overlaps_chunked(
     if overflow:
         if writers is not None:
             for w in writers:
-                w.close()
+                w.abort()
         empty = np.zeros(0, np.int32)
         return empty, empty, empty, 0, True
     # chunks are processed in ascending a-range, so per-chunk sorted edge
@@ -267,6 +293,202 @@ def find_overlaps_chunked(
     dst = np.concatenate([c[1] for c in chunks_out])
     ovl = np.concatenate([c[2] for c in chunks_out])
     return src, dst, ovl, n_edges_total, overflow
+
+
+def _find_overlaps_chunked_blocked(
+    reads2: np.ndarray,
+    valid2: np.ndarray,
+    min_overlap: int,
+    chunk_reads: int,
+    s: int,
+    g: int,
+    n_pos: int,
+    pa: int,
+    capacity_per_chunk: int,
+    store,
+    entry_block_reads: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]:
+    """Block-nested streamed join: the entry side streams in blocks of
+    ``entry_block_reads`` reads, so device residency is O(block + chunk)
+    instead of O(M) — this lifts the single-device HBM ceiling
+    (BASELINE.md round-4: global slab + M*g-row sort cap ~8-10M
+    vertices on a 16 GB chip).
+
+    Exactness: every candidate (a, b) arises from a's probes hitting
+    b's entry seeds, and ALL of read b's g entry seeds live in b's
+    (single) block — so the longest-per-pair reduction is complete per
+    (query chunk x entry block) and pairs are disjoint across blocks.
+    Per-chunk fragments (one per block, each (src, dst)-sorted) merge
+    with one lexsort per chunk; chunks concatenate in ascending a-range
+    into the same globally sorted list the single-slab path emits
+    (bit-identity tested with tiny blocks).
+    """
+    from sage2_tpu.overlap import detect
+
+    M, L = reads2.shape
+    EB = entry_block_reads
+    if M * g >= 1 << 31:
+        raise ValueError(f"seed table too large: {M * g} entries >= 2^31")
+    n_chunks = -(-M // chunk_reads)
+    n_blocks = -(-M // EB)
+    # constant geometry over blocks: one compiled program each for the
+    # block build and the probe
+    B = detect._pick_bucket_bits(
+        EB * g, min(M, chunk_reads) * n_pos, 2 * s, None
+    )
+
+    # per-chunk edge fragments, appended in ascending block order
+    if store is not None:
+        frag_writers = [
+            [store.writer(f"efrag{c}_{n}", np.int32)
+             for n in ("src", "dst", "ovl")]
+            for c in range(n_chunks)
+        ]
+        frags = None
+    else:
+        frags = [[] for _ in range(n_chunks)]
+        frag_writers = None
+
+    overflow = False
+    for b0 in range(0, M, EB):
+        nb = min(EB, M - b0)
+        raw = reads2[b0 : b0 + nb].astype(np.int32)
+        if nb < EB and n_blocks > 1:
+            raw = np.concatenate([raw, np.zeros((EB - nb, L), np.int32)])
+        bval = np.zeros(raw.shape[0], bool)
+        bval[:nb] = valid2[b0 : b0 + nb]
+        EBp = raw.shape[0]
+        blk = jnp.asarray(raw)
+        bvalid = jnp.asarray(bval)
+        words0b = bitpack.pack_read_words(blk)
+        b_hi, _ = detect.seed_keys_from_words0(
+            words0b, s, list(range(g)), L
+        )
+        ev = jnp.repeat(bvalid, g) if g > 1 else bvalid
+        hi = jnp.where(ev, b_hi.reshape(-1), jnp.uint32(0xFFFFFFFF))
+        # GLOBAL entry ids (the slab decode below recovers the global
+        # read id b = entry // g, exactly as the single-slab path)
+        entry = jnp.uint32(b0 * g) + jnp.arange(
+            hi.shape[0], dtype=jnp.uint32
+        )
+        packed = jnp.where(
+            ev, jnp.uint32(0), jnp.uint32(0x80000000)
+        ) | entry
+        hs, ps = sort_by_keys([hi, packed])
+        b_entry = (ps & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        b_val = ((ps >> 31) == 0).astype(jnp.int32)
+        st = detect.table_from_sorted(hs, b_entry, b_val, B)
+        local = jnp.clip((st.entry - np.int32(b0 * g)) // g, 0, EBp - 1)
+        slab = jnp.concatenate(
+            [st.entry[:, None].astype(jnp.uint32), words0b[local]],
+            axis=1,
+        )
+        del words0b, blk, b_hi, hi, entry, packed, hs, ps
+
+        for ci, i in enumerate(range(0, M, chunk_reads)):
+            chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
+            cvalid = jnp.asarray(valid2[i : i + chunk_reads])
+            words0c = bitpack.pack_read_words(chunk)
+            a_hi, _ = detect.seed_keys_from_words0(
+                words0c, s, [g * (j + 1) for j in range(n_pos)], L
+            )
+            lo_idx, counts = detect.probe_seed_table(st, a_hi, cvalid)
+            n_cand = int(jnp.sum(counts))
+            if n_cand > capacity_per_chunk:
+                overflow = True   # fail fast: the pass is doomed
+                break
+            entry_q, rank, lo_of_entry, cand_valid = expand_with_payload(
+                counts.reshape(-1), lo_idx.reshape(-1), capacity_per_chunk
+            )
+            cand_a = i + entry_q // n_pos                    # global id
+            cand_p = (entry_q % n_pos + 1) * g
+            b_slot = jnp.minimum(lo_of_entry + rank, EBp * g - 1)
+            row = slab[b_slot]
+            e_b = row[:, 0].astype(jnp.int32)                # global entry
+            cand_b = e_b // g
+            cand_p0 = cand_p - (e_b - cand_b * g)
+            cand_valid = cand_valid & (cand_a != cand_b) & (cand_p0 <= pa)
+            cand_p0 = jnp.clip(cand_p0, 1, pa)
+
+            ok = detect.verify_candidates_words0(
+                words0c, cand_a - i, cand_p0, row[:, 1:], L, max_p=pa,
+            ) & cand_valid
+
+            ovl = L - cand_p0
+            k_src, k_dst, k_ovl, n_keep_dev = detect.reduce_edge_candidates(
+                ok, cand_a, cand_b, ovl, L, M
+            )
+            n_keep = int(n_keep_dev)
+            part = (
+                np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
+                np.asarray(k_ovl[:n_keep]),
+            )
+            if frag_writers is not None:
+                for w, a in zip(frag_writers[ci], part):
+                    w.append(a)
+            else:
+                frags[ci].append(part)
+            del words0c, chunk
+        del slab, st
+        if overflow:
+            break
+
+    if overflow:
+        if frag_writers is not None:
+            for ws in frag_writers:
+                for w in ws:
+                    w.abort()
+        empty = np.zeros(0, np.int32)
+        return empty, empty, empty, 0, True
+
+    # merge: per chunk, the per-block fragments lexsort by (src, dst)
+    # (pairs are unique across blocks, so the order is total); chunks
+    # concatenate in ascending a-range into the globally sorted list
+    writers = (
+        [store.writer(n, np.int32)
+         for n in ("edges_src", "edges_dst", "edges_ovl")]
+        if store is not None else None
+    )
+    chunks_out = []
+    n_edges_total = 0
+    for ci in range(n_chunks):
+        if frag_writers is not None:
+            fsrc = frag_writers[ci][0].close()
+            fdst = frag_writers[ci][1].close()
+            fovl = frag_writers[ci][2].close()
+            src_c = np.asarray(fsrc)
+            dst_c = np.asarray(fdst)
+            ovl_c = np.asarray(fovl)
+        else:
+            parts = frags[ci]
+            src_c = np.concatenate([p[0] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+            dst_c = np.concatenate([p[1] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+            ovl_c = np.concatenate([p[2] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+        order = np.lexsort((dst_c, src_c))
+        part = (src_c[order], dst_c[order], ovl_c[order])
+        n_edges_total += part[0].shape[0]
+        if writers is not None:
+            for w, a in zip(writers, part):
+                w.append(a)
+            for nme in (f"efrag{ci}_src", f"efrag{ci}_dst",
+                        f"efrag{ci}_ovl"):
+                store.remove(nme)
+        else:
+            chunks_out.append(part)
+
+    if writers is not None:
+        pad_to = max(1, -(-n_edges_total // (1 << 14)) * (1 << 14))
+        src = writers[0].close(pad_to=pad_to, fill=2**31 - 1)
+        dst = writers[1].close(pad_to=pad_to, fill=2**31 - 1)
+        ovl = writers[2].close(pad_to=pad_to, fill=0)
+        return src, dst, ovl, n_edges_total, False
+    src = np.concatenate([c[0] for c in chunks_out])
+    dst = np.concatenate([c[1] for c in chunks_out])
+    ovl = np.concatenate([c[2] for c in chunks_out])
+    return src, dst, ovl, n_edges_total, False
 
 
 def _revcomp_ragged_np(rows: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -377,7 +599,7 @@ def find_overlaps_chunked_ragged(
     if overflow:
         if writers is not None:
             for w in writers:
-                w.close()
+                w.abort()
         empty = np.zeros(0, np.int32)
         return empty, empty, empty, 0, contained, True
     if writers is not None:

@@ -58,6 +58,15 @@ class SpillStore:
     def path(self, name: str) -> str:
         return os.path.join(self.dir, name + ".bin")
 
+    # -- run metadata (ADVICE r4: resume must not trust a stale/wrong
+    # spill dir blindly) ----------------------------------------------
+    def set_meta(self, key: str, value) -> None:
+        self._entries.setdefault("_meta", {})[key] = value
+        self._flush()
+
+    def get_meta(self, key: str, default=None):
+        return self._entries.get("_meta", {}).get(key, default)
+
     def exists(self, name: str) -> bool:
         return name in self._entries and os.path.exists(self.path(name))
 
@@ -69,15 +78,30 @@ class SpillStore:
         self._register(name, dtype, shape)
         return mm
 
-    def load(self, name: str, mode: str = "r") -> np.memmap:
+    def load(self, name: str, mode: str = "r") -> np.ndarray:
         e = self._entries[name]
+        shape = tuple(e["shape"])
+        if int(np.prod(shape, dtype=np.int64)) == 0:
+            # zero-length files cannot be mmap'd ("cannot mmap an empty
+            # file"); a legitimate zero-edge run registers shape (0,)
+            return np.zeros(shape, dtype=np.dtype(e["dtype"]))
         return np.memmap(self.path(name), dtype=np.dtype(e["dtype"]),
-                         mode=mode, shape=tuple(e["shape"]))
+                         mode=mode, shape=shape)
 
     def writer(self, name: str, dtype) -> "SpillAppender":
         """Open a named 1-D array for append-style construction (total
         length unknown until close)."""
         return SpillAppender(self, name, np.dtype(dtype))
+
+    def remove(self, name: str) -> None:
+        """Drop a named array (file + manifest entry); no-op if absent.
+        Used for transient fragments (block-nested join merge)."""
+        self._entries.pop(name, None)
+        try:
+            os.remove(self.path(name))
+        except OSError:
+            pass
+        self._flush()
 
 
 class SpillAppender:
@@ -95,7 +119,7 @@ class SpillAppender:
         self.n += a.shape[0]
 
     def close(self, pad_to: Optional[int] = None,
-              fill=0) -> np.memmap:
+              fill=0) -> np.ndarray:
         if pad_to is not None and pad_to > self.n:
             pad = np.full(pad_to - self.n, fill, self.dtype)
             pad.tofile(self._f)
@@ -104,4 +128,16 @@ class SpillAppender:
             total = self.n
         self._f.close()
         self.store._register(self.name, self.dtype, (total,))
+        # total==0 (e.g. a zero-edge run, or writers closed right after a
+        # first-chunk overflow): the file is empty and cannot be mmap'd —
+        # store.load handles it by returning a plain zero-length array
         return self.store.load(self.name, mode="r+")
+
+    def abort(self) -> None:
+        """Close and delete the partial file without registering it —
+        for fail-fast paths (e.g. capacity overflow mid-construction)."""
+        self._f.close()
+        try:
+            os.remove(self.store.path(self.name))
+        except OSError:
+            pass

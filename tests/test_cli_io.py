@@ -188,3 +188,40 @@ def test_cli_simulate_fasta_extension(tmp_path, capsys):
     assert head == ">"
     reads = load_reads([out])
     assert reads.shape[1] == 40 and reads.shape[0] >= 30
+
+
+def test_legacy_fasta_comments_and_sniffing(tmp_path):
+    """Legacy FASTA: leading ';' comment lines and blank lines before
+    the first record — content sniffing and both parsers handle them
+    (ADVICE r4 low: a 64-byte head + lstrip missed these)."""
+    p = tmp_path / "legacy.txt"  # neutral extension: sniffing must win
+    p.write_text(
+        "\n\n; legacy comment describing the file\n"
+        "; another comment\n"
+        ">r1\nACGTACGTAC\n"
+        "; inline comment between records\n"
+        ">r2\nACGT\nACGTAC\n"
+    )
+    assert fastq._is_fasta(str(p))
+    arr, lens = fastq.load_reads_ragged([str(p)])
+    assert arr.shape[0] == 2
+    np.testing.assert_array_equal(lens, [10, 10])
+
+    # FASTQ behind blank lines still sniffs as FASTQ
+    q = tmp_path / "blanky.txt"
+    q.write_text("\n\n@a\nACGTACGT\n+\nIIIIIIII\n")
+    assert not fastq._is_fasta(str(q))
+    got = load_reads([str(q)])
+    assert got.shape == (1, 8)
+
+
+def test_native_fasta_skips_comment_lines(tmp_path):
+    if not native.available():
+        pytest.skip("no native toolchain")
+    p = tmp_path / "c.fasta"
+    p.write_text("; comment\n>r1\nACGTACGT\n; mid\n>r2\nACGTACGT\n")
+    arr = native.parse_fasta(str(p))
+    with open(p, "rb") as f:
+        b = fastq._to_array(fastq._parse_fasta_py(f.read()))
+    np.testing.assert_array_equal(arr, b)
+    assert arr.shape == (2, 8)

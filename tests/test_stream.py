@@ -128,3 +128,77 @@ def test_prepare_reads_chunked_matches_device():
     # each input read's vertex row carries its own sequence
     for i in range(0, reads.shape[0], 17):
         np.testing.assert_array_equal(r2[vread[i]], reads[i].astype(np.int8))
+
+
+@pytest.mark.parametrize("block,chunk", [(50, 64), (97, 300), (64, 64)])
+def test_blocked_overlaps_match_incore(block, chunk):
+    """Block-nested entry chunking (entry side streamed too) is
+    bit-identical — same edges, same order — to the in-core join
+    (VERDICT r4 #3: lifts the single-device streamed HBM ceiling)."""
+    from sage2_tpu.overlap import find_overlaps, prepare_reads
+    from sage2_tpu.stream import find_overlaps_chunked
+
+    genome = simulate_genome(700, seed=441)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=12,
+                              error_rate=0.005, seed=442)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    incore = find_overlaps(rs.reads2, rs.valid2, 40, capacity=1 << 16)
+    assert not bool(incore.overflow)
+    n = int(incore.n_edges)
+    expect = list(zip(np.asarray(incore.src)[:n].tolist(),
+                      np.asarray(incore.dst)[:n].tolist(),
+                      np.asarray(incore.ovl)[:n].tolist()))
+
+    src, dst, ovl, n_edges, overflow = find_overlaps_chunked(
+        np.asarray(rs.reads2), np.asarray(rs.valid2), 40,
+        chunk_reads=chunk, capacity_per_chunk=1 << 15,
+        entry_block_reads=block,
+    )
+    assert not overflow
+    assert n_edges == n
+    got = list(zip(src.tolist(), dst.tolist(), ovl.tolist()))
+    assert got == expect
+
+
+def test_blocked_overlaps_spill_store(tmp_path):
+    """Blocked join with a spill store: fragments merge into the same
+    padded edges_* memmaps the single-slab path writes; transient
+    fragment files are removed."""
+    from sage2_tpu.overlap import prepare_reads
+    from sage2_tpu.stream import find_overlaps_chunked
+    from sage2_tpu.utils.spill import SpillStore
+
+    genome = simulate_genome(700, seed=443)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=12,
+                              error_rate=0.005, seed=444)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    r2 = np.asarray(rs.reads2)
+    v2 = np.asarray(rs.valid2)
+    plain = find_overlaps_chunked(r2, v2, 40, chunk_reads=256,
+                                  capacity_per_chunk=1 << 16)
+    st = SpillStore(str(tmp_path))
+    blk = find_overlaps_chunked(r2, v2, 40, chunk_reads=256,
+                                capacity_per_chunk=1 << 16,
+                                entry_block_reads=70, store=st)
+    assert blk[3] == plain[3] and not blk[4]
+    n = plain[3]
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(blk[i])[:n], plain[i][:n])
+    # padded to the 2^14 grain with the sentinel, like the base path
+    assert blk[0].shape[0] % (1 << 14) == 0
+    assert (np.asarray(blk[0][n:]) == 2**31 - 1).all()
+    assert not st.exists("efrag0_src")
+
+
+def test_blocked_overlaps_overflow_fail_fast():
+    from sage2_tpu.overlap import prepare_reads
+    from sage2_tpu.stream import find_overlaps_chunked
+
+    genome = simulate_genome(500, seed=445)
+    reads, _ = simulate_reads(genome, read_len=60, coverage=10, seed=446)
+    rs = prepare_reads(jnp.asarray(reads.astype(np.int32)))
+    *_, overflow = find_overlaps_chunked(
+        np.asarray(rs.reads2), np.asarray(rs.valid2), 40,
+        chunk_reads=64, capacity_per_chunk=8, entry_block_reads=50,
+    )
+    assert overflow
