@@ -53,6 +53,11 @@ def main() -> int:
     from sage2_tpu.utils.platform import ensure_backend
 
     ensure_backend()
+    from sage2_tpu.utils.platform import warmup_compile
+
+    # absorb the unpredictable per-process first-compile cost
+    # (280-1500 s on the relay) before any stage timer starts
+    warmup_compile()
 
     from sage2_tpu.config import AssemblyConfig
     from sage2_tpu.data import simulate_genome, simulate_reads

@@ -65,6 +65,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         " O(chunk + reduced graph); bit-identical"
                         " results (requires --max-device-reads;"
                         " single-device path)")
+    p.add_argument("--entry-block-reads", type=int, default=None,
+                   metavar="N",
+                   help="streamed overlap: also stream the ENTRY side in"
+                        " blocks of N reads (block-nested join) — lifts"
+                        " the single-device HBM ceiling; default: auto"
+                        " above the measured ceiling; bit-identical")
     p.add_argument("--paired", action="store_true",
                    help="treat input files as (R1, R2) pairs; mate"
                         " pairing survives dedup into the edges artifact"
@@ -96,6 +102,7 @@ def _config(args) -> "AssemblyConfig":
         mesh_shape=(args.mesh,) if getattr(args, "mesh", None) else None,
         max_device_reads=getattr(args, "max_device_reads", None),
         spill_dir=getattr(args, "spill_dir", None),
+        entry_block_reads=getattr(args, "entry_block_reads", None),
         scaffold=not getattr(args, "no_scaffold", False),
         min_mate_links=getattr(args, "min_mate_links", 3),
         insert_size=getattr(args, "insert_size", None),

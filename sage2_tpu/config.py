@@ -77,6 +77,16 @@ class AssemblyConfig:
                                     # count/correct/dedup/overlap stream
                                     # in chunks of this many reads
                                     # (bit-identical to in-core).
+    entry_block_reads: Optional[int] = None  # streamed overlap: stream
+                                    # the ENTRY side too in blocks of
+                                    # this many reads (block-nested
+                                    # join). None => auto: engages when
+                                    # the global seed-row count exceeds
+                                    # the single-device HBM ceiling
+                                    # class (stream._BLOCK_ENGAGE_ROWS).
+                                    # Bit-identical to the single-slab
+                                    # path. Placement-only: NOT part of
+                                    # the digest.
     spill_dir: Optional[str] = None  # host-side spill directory: the
                                     # streamed pipeline's big host arrays
                                     # (corrected reads, dedup'd read
@@ -116,8 +126,11 @@ class AssemblyConfig:
             d["mesh_shape"] = list(d["mesh_shape"])
         # spill_dir is a placement knob (memmap vs RAM staging) with
         # bit-identical results — keep it out of the digest so spilled
-        # and in-RAM runs of the same assembly share manifests
+        # and in-RAM runs of the same assembly share manifests; the
+        # entry-block size is likewise placement-only (bit-identical,
+        # tested)
         d.pop("spill_dir", None)
+        d.pop("entry_block_reads", None)
         return d
 
     @classmethod

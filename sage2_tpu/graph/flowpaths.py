@@ -435,7 +435,14 @@ def mincost_flow_paths(
 
     paths: List[List[int]] = []
     covered: Set[int] = set()
-    for comp in comp_list:
+    for ci_, comp in enumerate(comp_list):
+        if ci_ % 64 == 0:
+            # heartbeat: the min-cost flow is pure host compute and can
+            # run tens of minutes on repeat-rich graphs — without this
+            # the relay-stall watchdog would kill a healthy run
+            from sage2_tpu.utils import watchdog
+
+            watchdog.touch(f"flow component {ci_}/{len(comp_list)}")
         if len(comp) > max_component:
             sub = set()
             for c in comp:

@@ -690,6 +690,83 @@ def build_seed_rows(
     return k_hi, k_lo, packed, payload
 
 
+# Which payload/key builder find_overlaps uses: "shifted" (the original
+# (M,16,W) shifted-packs build) or "w0" (register-shift build from the
+# unshifted packing — bit-identical, tested). Module-level so the bench
+# probe can A/B both; jitted-wrapper caches must be cleared on change
+# (scripts/probe_row_builder.py does).
+SEED_ROW_BUILDER = "shifted"
+
+
+def build_seed_rows_w0(
+    reads2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    s: int,
+    geo: JoinGeometry,
+    id_base: int | jnp.ndarray = 0,
+    lengths: jnp.ndarray | None = None,
+):
+    """build_seed_rows computed from the UNSHIFTED word packing.
+
+    Bit-identical outputs (equality-tested); the difference is cost
+    shape: ``shifted_word_packs`` materializes an (M, 16, W) tensor in
+    HBM (16x the read bytes written + re-read by the slices) while this
+    builds every needed word with two register shifts from the (M, W)
+    words0 packing — the same trick the streamed path uses
+    (word_at_positions). Round-5 lever from the BASELINE.md round-4
+    floor ledger: seed-row build measured 4.9 ms/shard with a ~3 ms
+    plausible floor.
+    """
+    from sage2_tpu.ops.bitpack import pack_read_words
+
+    M, L = reads2.shape
+    g, n_pos, R, pa, Wp, trim = geo
+    Wt = geo.Wt
+    positions = list(range(g)) + [g * (j + 1) for j in range(n_pos)]
+    if lengths is None:
+        lengths = jnp.full((M,), L, jnp.int32)
+    words0 = pack_read_words(reads2)               # (M, W)
+
+    # payload rows: [aw0..aw(Wt-1), xw, len] per position (see
+    # _row_payload for the column contract)
+    lcol = lengths.astype(jnp.uint32)[:, None]
+    w00 = words0[:, 0]
+    rows = []
+    for i, pos in enumerate(positions):
+        aw = jnp.stack(
+            word_at_positions(
+                words0, [pos + 16 * (trim + t) for t in range(Wt)], L
+            ),
+            axis=1,
+        )
+        if i < g:
+            xw = w00                               # B side: bases [0,16)
+        elif pos < 16:
+            xw = w00 >> jnp.uint32(2 * (16 - pos))
+        else:
+            (xw,) = word_at_positions(words0, [pos - 16], L)
+        rows.append(jnp.concatenate([aw, xw[:, None], lcol], axis=1))
+    payload = jnp.stack(rows, axis=1)              # (M, R, Wt+2)
+
+    k_hi, k_lo = seed_keys_from_words0(words0, s, positions, L)
+    pos_arr = jnp.asarray(positions, jnp.int32)
+    rv = valid2[:, None] & (
+        pos_arr[None, :] + s <= lengths[:, None]
+    )
+    k_hi = jnp.where(rv, k_hi, _U32_MAX)
+    k_lo = jnp.where(rv, k_lo, _U32_MAX)
+    tag = jnp.concatenate(
+        [jnp.zeros((M, g), jnp.uint32),
+         jnp.full((M, n_pos), 0x80000000, jnp.uint32)], axis=1,
+    )
+    row0 = jnp.uint32(id_base) * jnp.uint32(R)
+    packed = tag | (
+        row0 + jnp.arange(M * R, dtype=jnp.uint32).reshape(M, R)
+    )
+    packed = jnp.where(rv, packed, _U32_MAX)
+    return k_hi, k_lo, packed, payload
+
+
 def find_overlaps(
     reads2: jnp.ndarray,
     valid2: jnp.ndarray,
@@ -744,7 +821,9 @@ def find_overlaps(
     if N >= (1 << 31) - 1:
         raise ValueError(f"seed rows {N} overflow 31-bit row ids")
 
-    k_hi, k_lo, packed, payload = build_seed_rows(
+    builder = (build_seed_rows_w0 if SEED_ROW_BUILDER == "w0"
+               else build_seed_rows)
+    k_hi, k_lo, packed, payload = builder(
         reads2, valid2, s, geo, lengths=lengths
     )
     ok, ok_cont, cand_a, cand_b, ovl, total = fused_join_core(
@@ -834,6 +913,13 @@ def fused_join_core(
         )
 
     # --- scan-based run accounting --------------------------------------
+    # Entries sort strictly BEFORE queries within a run (the packed tag
+    # bit is the last sort operand), so a query's candidate count is
+    # simply (first-query index of its run) - (run start): ONE 2-column
+    # cummax recovers both, replacing the previous
+    # cumsum(is_entry) + 2-column cummax formulation (round-5 scan-block
+    # cut; the BASELINE.md round-4 ledger put the scan block at
+    # 9.4 ms/shard with a ~3-4 ms floor).
     iota_n = jnp.arange(N, dtype=jnp.int32)
     prev_hi = jnp.concatenate([s_hi[:1], s_hi[:-1]])
     prev_lo = jnp.concatenate([s_lo[:1], s_lo[:-1]])
@@ -841,17 +927,17 @@ def fused_join_core(
     # the packed sentinel (not the key) marks dead rows: a REAL all-T
     # seed shares the all-ones key but keeps a live id < 0x7FFFFFFF
     live = s_packed != _U32_MAX
-    is_entry = ((s_packed >> 31) == 0) & live
     is_query = ((s_packed >> 31) == 1) & live
-    entrycum = jnp.cumsum(is_entry.astype(jnp.int32))
+    prev_q = jnp.concatenate([jnp.zeros(1, bool), is_query[:-1]])
+    first_q = is_query & (is_head | ~prev_q)
     fill = jax.lax.cummax(
         jnp.stack(
             [jnp.where(is_head, iota_n, 0),
-             jnp.where(is_head, entrycum - is_entry, 0)], axis=1
+             jnp.where(first_q, iota_n, 0)], axis=1
         ), axis=0,
     )
-    run_start, entry_base = fill[:, 0], fill[:, 1]
-    counts = jnp.where(is_query, entrycum - entry_base, 0)
+    run_start, q_start = fill[:, 0], fill[:, 1]
+    counts = jnp.where(is_query, q_start - run_start, 0)
     offsets = jnp.cumsum(counts)
     total = offsets[-1]
     starts = offsets - counts

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from sage2_tpu.parallel import comm
+
 from sage2_tpu.kmer.count import KmerTable, count_from_keys, lookup_counts
 from sage2_tpu.kmer.correct import (
     apply_verdicts,
@@ -105,11 +107,11 @@ def _route(axis: str, owner: jnp.ndarray, valid: jnp.ndarray,
             jnp.where(ok_sorted, sv, jnp.zeros((), v.dtype))
         )[:-1]
         recvs.append(
-            jax.lax.all_to_all(
+            comm.all_to_all(
                 buf.reshape(ndev, cap), axis, 0, 0, tiled=True
             )
         )
-    recv_valid = jax.lax.all_to_all(
+    recv_valid = comm.all_to_all(
         send_valid.reshape(ndev, cap), axis, 0, 0, tiled=True
     )
     return _Routed(tuple(recvs), recv_valid, dest, rank, sent_ok, overflow)
@@ -118,7 +120,7 @@ def _route(axis: str, owner: jnp.ndarray, valid: jnp.ndarray,
 def _route_back(axis: str, answers: jnp.ndarray, routed: _Routed) -> jnp.ndarray:
     """Return per-owner answers (ndev, cap) to the senders; gather each
     original input's answer (0 where the input was dropped)."""
-    back = jax.lax.all_to_all(answers, axis, 0, 0, tiled=True)
+    back = comm.all_to_all(answers, axis, 0, 0, tiled=True)
     ans = back[routed.dest, routed.rank]
     return jnp.where(routed.sent_ok, ans, jnp.zeros((), answers.dtype))
 
@@ -162,10 +164,10 @@ def _route_rows(
         jnp.zeros(ndev * cap + 1, bool)
         .at[slot_sorted].set(ok_sorted, mode="drop")[:-1]
     )
-    recv = jax.lax.all_to_all(
+    recv = comm.all_to_all(
         buf.reshape(ndev, cap, K), axis, 0, 0, tiled=True
     )
-    recv_valid = jax.lax.all_to_all(
+    recv_valid = comm.all_to_all(
         vbuf.reshape(ndev, cap), axis, 0, 0, tiled=True
     )
     return recv.reshape(ndev * cap, K), recv_valid.reshape(-1), overflow
@@ -184,7 +186,7 @@ def _local_count_owned(axis: str, hi, lo, valid, k: int, cap: int, ndev: int):
         r_hi.reshape(-1), r_lo.reshape(-1), k,
         valid=routed.recv_valid.reshape(-1),
     )
-    overflow = jax.lax.psum(routed.overflow.astype(jnp.int32), axis) > 0
+    overflow = comm.psum(routed.overflow.astype(jnp.int32), axis) > 0
     return table, overflow
 
 
@@ -202,7 +204,7 @@ def _sharded_lookup(axis: str, table: KmerTable, q_hi, q_lo, cap: int,
     ans = lookup_counts(table, r_hi, r_lo)
     ans = jnp.where(routed.recv_valid, ans, 0)
     counts = _route_back(axis, ans, routed)
-    overflow = jax.lax.psum(routed.overflow.astype(jnp.int32), axis) > 0
+    overflow = comm.psum(routed.overflow.astype(jnp.int32), axis) > 0
     return counts.reshape(shape), overflow
 
 
@@ -235,7 +237,8 @@ def sharded_count_kmers(
             table.n_unique[None], overflow,
         )
 
-    hi, lo, count, n_unique, overflow = run(reads)
+    with comm.label('sharded_count_kmers'):
+        hi, lo, count, n_unique, overflow = run(reads)
     return KmerTable(hi, lo, count, n_unique, k), overflow
 
 
@@ -332,7 +335,8 @@ def sharded_correct_reads(
         return r, any_overflow
 
     args = (reads, valid) + ((lengths,) if ragged else ())
-    return run(*args)
+    with comm.label('sharded_correct_reads'):
+        return run(*args)
 
 
 # --------------------------------------------------------------------------
@@ -535,9 +539,9 @@ def sharded_transitive_reduction(
         o_dst = jnp.where(keep, dst_l, _I32_MAX)
         o_ovl = jnp.where(keep, ovl_l, 0)
         o_src, o_dst, o_ovl = sort_by_keys([o_src, o_dst, o_ovl])
-        n_edges = jax.lax.psum(jnp.sum(keep.astype(jnp.int32)), axis)
-        n_expansions = jax.lax.psum(total_l, axis)
-        overflow = jax.lax.psum(
+        n_edges = comm.psum(jnp.sum(keep.astype(jnp.int32)), axis)
+        n_expansions = comm.psum(total_l, axis)
+        overflow = comm.psum(
             (ovf_req | ovf_exp | ovf_cr).astype(jnp.int32), axis
         ) > 0
         return (
@@ -548,7 +552,8 @@ def sharded_transitive_reduction(
     args = (src_sh, dst_sh, ovl_sh) + (
         (lengths_sh,) if ragged else ()
     )
-    return run(*args)
+    with comm.label('sharded_transitive_reduction'):
+        return run(*args)
 
 
 # --------------------------------------------------------------------------
@@ -560,7 +565,7 @@ def _route_back_rows(
     axis: str, answers: jnp.ndarray, routed: _Routed
 ) -> jnp.ndarray:
     """Row variant of _route_back: answers (ndev, cap, K) -> (Q, K)."""
-    back = jax.lax.all_to_all(answers, axis, 0, 0, tiled=True)
+    back = comm.all_to_all(answers, axis, 0, 0, tiled=True)
     ans = back[routed.dest, routed.rank]
     return jnp.where(
         routed.sent_ok[:, None], ans, jnp.zeros((), answers.dtype)
@@ -787,14 +792,15 @@ def sharded_contract_unitigs(
         )
         any_ovf |= ovf
 
-        overflow = jax.lax.psum(any_ovf.astype(jnp.int32), axis) > 0
+        overflow = comm.psum(any_ovf.astype(jnp.int32), axis) > 0
         return (
             (head[None], dist[None], nxt[None], ovl_next[None],
              outdeg[None], indeg[None]),
             overflow,
         )
 
-    return run(src_sh, dst_sh, ovl_sh)
+    with comm.label('sharded_contract_unitigs'):
+        return run(src_sh, dst_sh, ovl_sh)
 
 
 def gather_cyclic_shards(shards, n_vertices: int):
@@ -940,8 +946,8 @@ def sharded_find_overlaps(
         )
         ovf_edges = n_local > edge_cap
 
-        n_edges = jax.lax.psum(n_local, axis)
-        overflow = jax.lax.psum(
+        n_edges = comm.psum(n_local, axis)
+        overflow = comm.psum(
             (ovf_rows | ovf_join | ovf_er | ovf_edges).astype(jnp.int32),
             axis,
         ) > 0
@@ -957,11 +963,12 @@ def sharded_find_overlaps(
                 .at[jnp.where(ok_cont, cand_b, M)]
                 .set(1, mode="drop")[:M]
             )
-            outs.append(jax.lax.psum(cont_l, axis) > 0)
+            outs.append(comm.psum(cont_l, axis) > 0)
         return tuple(outs)
 
     args = (reads2, valid2) + ((lengths,) if ragged else ())
-    return run(*args)
+    with comm.label('sharded_find_overlaps'):
+        return run(*args)
 
 
 def gather_edge_shards(

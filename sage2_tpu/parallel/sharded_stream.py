@@ -42,6 +42,9 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from sage2_tpu.parallel import comm
+from sage2_tpu.utils import watchdog
+
 from sage2_tpu.kmer.count import SENTINEL, KmerTable, count_from_keys
 from sage2_tpu.kmer.correct import (
     apply_verdicts,
@@ -147,7 +150,7 @@ def _count_step(mesh: Mesh, k: int, route_cap: int, table_cap: int,
             (run_hi2.reshape(-1), run_lo2.reshape(-1), run_ct2.reshape(-1)),
             (part.hi, part.lo, part.count), table_cap,
         )
-        overflow = jax.lax.psum(
+        overflow = comm.psum(
             (routed.overflow | ovf_t).astype(jnp.int32), axis
         ) > 0
         return (
@@ -191,13 +194,16 @@ def sharded_count_kmers_chunked(
     n_unique = jnp.zeros((ndev,), jnp.int32)
     overflow = False
     for i in range(0, N, rows):
+        watchdog.touch(f"sharded chunk {i}")
         chunk, valid = _pad_chunk(
             reads[i : i + rows].astype(np.int32), rows
         )
         extra = (_chunk_lens(lengths, i, rows),) if ragged else ()
-        hi, lo, ct, n_unique, ovf = step(
-            jnp.asarray(chunk), jnp.asarray(valid), hi, lo, ct, *extra
-        )
+        with comm.label("sharded_count_chunked"):
+            hi, lo, ct, n_unique, ovf = step(
+                jnp.asarray(chunk), jnp.asarray(valid), hi, lo, ct,
+                *extra
+            )
         if bool(ovf):
             # fail FAST: a capacity overflow dooms the whole pass, and
             # the caller's retry restarts from scratch — finishing the
@@ -305,6 +311,7 @@ def sharded_correct_reads_chunked(
     else:
         assert out.shape == reads.shape and out.dtype == np.int8
         for i in range(0, N, chunk_reads):
+            watchdog.touch(f"sharded chunk {i}")
             out[i : i + chunk_reads] = reads[i : i + chunk_reads]
     rows = min(chunk_reads, N)
     rows += (-rows) % ndev
@@ -319,15 +326,17 @@ def sharded_correct_reads_chunked(
         if ovf:
             return out, True    # fail fast: the pass is doomed anyway
         for i in range(0, N, rows):
+            watchdog.touch(f"sharded chunk {i}")
             chunk, valid = _pad_chunk(
                 out[i : i + rows].astype(np.int32), rows
             )
             extra = (_chunk_lens(lengths, i, rows),) if ragged else ()
-            corrected, ovf = step(
-                jnp.asarray(chunk), jnp.asarray(valid),
-                table.hi, table.lo, table.count,
-                table.n_unique, *extra,
-            )
+            with comm.label("sharded_correct_chunked"):
+                corrected, ovf = step(
+                    jnp.asarray(chunk), jnp.asarray(valid),
+                    table.hi, table.lo, table.count,
+                    table.n_unique, *extra,
+                )
             if bool(ovf):
                 return out, True
             nc = min(i + rows, N) - i
@@ -392,7 +401,7 @@ def _entry_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
         recv = recv.at[:, 0].set(jnp.where(dead, _U32_MAX, recv[:, 0]))
         recv = recv.at[:, 1].set(jnp.where(dead, _U32_MAX, recv[:, 1]))
         recv = recv.at[:, 2].set(jnp.where(dead, _U32_MAX, recv[:, 2]))
-        overflow = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
+        overflow = comm.psum(ovf.astype(jnp.int32), axis) > 0
         return recv[None], overflow
 
     return step
@@ -480,7 +489,7 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
             recv_ev[:, None], recv_e,
             jnp.asarray([_I32_MAX, _I32_MAX, 0], jnp.int32)[None, :],
         )
-        overflow = jax.lax.psum(
+        overflow = comm.psum(
             (ovf_q | ovf_join | ovf_e).astype(jnp.int32), axis
         ) > 0
         outs = [recv_e[None], overflow]
@@ -490,7 +499,7 @@ def _query_step(mesh: Mesh, min_overlap: int, seed_len: int, L: int,
                 .at[jnp.where(ok_cont, cand_b, m_total)]
                 .set(1, mode="drop")[:m_total]
             )
-            outs.append(jax.lax.psum(cont_l, axis) > 0)
+            outs.append(comm.psum(cont_l, axis) > 0)
         return tuple(outs)
 
     return step
@@ -516,8 +525,8 @@ def _merge_edges_step(mesh: Mesh, L: int, m_total: int, edge_cap: int):
             valid, e[:, 0], e[:, 1], e[:, 2], L, m_total
         )
         ovf = n_local > edge_cap
-        n_edges = jax.lax.psum(n_local, axis)
-        overflow = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
+        n_edges = comm.psum(n_local, axis)
+        overflow = comm.psum(ovf.astype(jnp.int32), axis) > 0
         return (
             f_src[None, :edge_cap], f_dst[None, :edge_cap],
             f_ovl[None, :edge_cap], n_edges, overflow,
@@ -583,7 +592,9 @@ def sharded_find_overlaps_chunked(
     overflow = False
     ent_parts = []
     for i in range(0, M, rows):
-        part, ovf = ent_step(*chunk_args(i))
+        watchdog.touch(f"sharded chunk {i}")
+        with comm.label("sharded_overlap_entry_chunked"):
+            part, ovf = ent_step(*chunk_args(i))
         overflow = overflow or bool(ovf)
         ent_parts.append(part)
     entries = (
@@ -597,8 +608,10 @@ def sharded_find_overlaps_chunked(
     edge_parts = []
     contained = np.zeros(M, bool) if ragged else None
     for i in range(0, M, rows):
+        watchdog.touch(f"sharded chunk {i}")
         args = chunk_args(i)
-        out = q_step(entries, *args)
+        with comm.label("sharded_overlap_query_chunked"):
+            out = q_step(entries, *args)
         part, ovf = out[0], out[1]
         overflow = overflow or bool(ovf)
         if ragged:
@@ -611,7 +624,8 @@ def sharded_find_overlaps_chunked(
     del edge_parts
 
     m_step = _merge_edges_step(mesh, L, M, edge_cap)
-    src_sh, dst_sh, ovl_sh, n_edges, ovf = m_step(edges3)
+    with comm.label("sharded_overlap_merge"):
+        src_sh, dst_sh, ovl_sh, n_edges, ovf = m_step(edges3)
     overflow = overflow or bool(ovf)
     base = (src_sh, dst_sh, ovl_sh, int(n_edges), overflow)
     return base + ((contained,) if ragged else ())

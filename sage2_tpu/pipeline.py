@@ -472,6 +472,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                             seed_len=config.effective_seed_len,
                             capacity_per_chunk=cap_chunk,
                             store=store,
+                            entry_block_reads=config.entry_block_reads,
                         )
                     else:
                         e_src, e_dst, e_ovl, n_edges_i, ovf = (
@@ -481,6 +482,7 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
                                 seed_len=config.effective_seed_len,
                                 capacity_per_chunk=cap_chunk,
                                 store=store,
+                                entry_block_reads=config.entry_block_reads,
                             )
                         )
                 if not ovf:
@@ -1005,4 +1007,13 @@ def _assemble_inner(reads, config, outdir, log, resume_from, mate_of=None,
         with open(os.path.join(outdir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=1)
         _manifest(outdir, config, "finish")
+    if mesh is not None:
+        # collective-volume ledger (SURVEY.md §5 metrics; the config-#4
+        # communication model): per sharded program, dispatch counts +
+        # per-dispatch collective operand bytes from trace-time shapes
+        from sage2_tpu.parallel import comm
+
+        cs = comm.summary()
+        if cs:
+            log.log("comm", programs=cs)
     return (scaffolds if scaffolds is not None else contigs), stats

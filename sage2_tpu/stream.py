@@ -19,6 +19,7 @@ import numpy as np
 from sage2_tpu.kmer.count import SENTINEL, KmerTable, count_from_keys
 from sage2_tpu.kmer.correct import correct_reads
 from sage2_tpu.ops import bitpack
+from sage2_tpu.utils import watchdog
 from sage2_tpu.ops.sort import (
     expand_with_payload,
     sort_by_keys,
@@ -59,6 +60,7 @@ def count_kmers_chunked(
     N = reads.shape[0]
     table: Optional[KmerTable] = None
     for i in range(0, N, chunk_reads):
+        watchdog.touch(f"count chunk {i}/{N}")
         raw = reads[i : i + chunk_reads]
         nc = raw.shape[0]
         # pad the tail chunk to the common shape (one jit cache entry for
@@ -110,6 +112,13 @@ def _compact(table: KmerTable) -> KmerTable:
 # ~_BLOCK_TARGET_ROWS rows (slab ~0.5 GB at production widths).
 _BLOCK_ENGAGE_ROWS = 48 * 1024 * 1024
 _BLOCK_TARGET_ROWS = 24 * 1024 * 1024
+
+# A/B toggle (scripts/probe_correct_ab.py): route the streamed
+# single_window corrector through the DENSE per-chunk kernel instead of
+# the two-phase weak-window path — both are bit-identical (tested); the
+# toggle exists to measure the two-phase speedup in one warm process
+# (VERDICT r4 #4: the claimed win was never demonstrated at scale).
+FORCE_DENSE_CORRECT = False
 
 
 def find_overlaps_chunked(
@@ -182,6 +191,7 @@ def find_overlaps_chunked(
     packed_parts = []
     words0_parts = []
     for i in range(0, M, chunk_reads):
+        watchdog.touch(f"overlap seed chunk {i}/{M}")
         chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
         cvalid = jnp.asarray(valid2[i : i + chunk_reads])
         words0c = bitpack.pack_read_words(chunk)
@@ -226,6 +236,7 @@ def find_overlaps_chunked(
     n_edges_total = 0
     overflow = False
     for i in range(0, M, chunk_reads):
+        watchdog.touch(f"overlap probe chunk {i}/{M}")
         chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
         cvalid = jnp.asarray(valid2[i : i + chunk_reads])
         mc = chunk.shape[0]
@@ -351,6 +362,7 @@ def _find_overlaps_chunked_blocked(
 
     overflow = False
     for b0 in range(0, M, EB):
+        watchdog.touch(f"overlap entry block {b0}/{M}")
         nb = min(EB, M - b0)
         raw = reads2[b0 : b0 + nb].astype(np.int32)
         if nb < EB and n_blocks > 1:
@@ -386,6 +398,7 @@ def _find_overlaps_chunked_blocked(
         del words0b, blk, b_hi, hi, entry, packed, hs, ps
 
         for ci, i in enumerate(range(0, M, chunk_reads)):
+            watchdog.touch(f"overlap block {b0} probe chunk {i}/{M}")
             chunk = jnp.asarray(reads2[i : i + chunk_reads].astype(np.int32))
             cvalid = jnp.asarray(valid2[i : i + chunk_reads])
             words0c = bitpack.pack_read_words(chunk)
@@ -510,6 +523,7 @@ def find_overlaps_chunked_ragged(
     seed_len: int = 32,
     capacity_per_chunk: int = 1 << 20,
     store=None,
+    entry_block_reads: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray, bool]:
     """Streamed RAGGED overlap detection (fused-join formulation).
 
@@ -532,6 +546,14 @@ def find_overlaps_chunked_ragged(
     Wt = geo.Wt
     if M * R >= (1 << 31) - 1:
         raise ValueError(f"seed rows {M * R} overflow 31-bit row ids")
+
+    if entry_block_reads is None and M * g > _BLOCK_ENGAGE_ROWS:
+        entry_block_reads = max(chunk_reads, _BLOCK_TARGET_ROWS // g)
+    if entry_block_reads is not None and entry_block_reads < M:
+        return _find_overlaps_chunked_ragged_blocked(
+            reads2, valid2, lengths2, min_overlap, chunk_reads, s, geo,
+            capacity_per_chunk, store, entry_block_reads,
+        )
 
     def chunk_rows(i):
         raw = reads2[i : i + chunk_reads].astype(np.int32)
@@ -611,6 +633,168 @@ def find_overlaps_chunked_ragged(
     dst = np.concatenate([c[1] for c in chunks_out])
     ovl = np.concatenate([c[2] for c in chunks_out])
     return src, dst, ovl, n_edges_total, contained, overflow
+
+
+def _find_overlaps_chunked_ragged_blocked(
+    reads2: np.ndarray,
+    valid2: np.ndarray,
+    lengths2: np.ndarray,
+    min_overlap: int,
+    chunk_reads: int,
+    s: int,
+    geo,
+    capacity_per_chunk: int,
+    store,
+    entry_block_reads: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray, bool]:
+    """Block-nested RAGGED streamed join: the entry-row slab streams in
+    blocks of ``entry_block_reads`` reads (device residency
+    O(block + chunk) instead of O(M) — the ragged analog of
+    _find_overlaps_chunked_blocked; same exactness argument: all of
+    read b's entry rows live in b's block, so the per-pair reduction is
+    complete per (query chunk x entry block) and pairs are disjoint
+    across blocks). Containment marks OR-accumulate across blocks.
+    Bit-identical to the single-slab ragged path (tested).
+    """
+    M, L = reads2.shape
+    g, n_pos, R, pa, Wp, _trim = geo
+    Wt = geo.Wt
+    EB = entry_block_reads
+    n_chunks = -(-M // chunk_reads)
+
+    def chunk_rows(i, end=None):
+        """Padded chunk starting at read i; rows at/after ``end`` (the
+        block boundary) are masked INVALID so a read's entry rows land
+        in exactly ONE block (duplicated entries would duplicate
+        pairs)."""
+        end = M if end is None else min(end, M)
+        raw = reads2[i : i + chunk_reads].astype(np.int32)
+        nc = raw.shape[0]
+        pad = chunk_reads - nc if M > chunk_reads else 0
+        if pad:
+            raw = np.concatenate([raw, np.zeros((pad, L), np.int32)])
+        nv = max(0, min(end - i, nc))
+        cvalid = np.zeros(raw.shape[0], bool)
+        cvalid[:nv] = valid2[i : i + nv]
+        lens_c = np.zeros(raw.shape[0], np.int32)
+        lens_c[:nc] = lengths2[i : i + nc]
+        return (jnp.asarray(raw), jnp.asarray(cvalid),
+                jnp.asarray(lens_c))
+
+    if store is not None:
+        frag_writers = [
+            [store.writer(f"efrag{c}_{n}", np.int32)
+             for n in ("src", "dst", "ovl")]
+            for c in range(n_chunks)
+        ]
+        frags = None
+    else:
+        frags = [[] for _ in range(n_chunks)]
+        frag_writers = None
+
+    contained = np.zeros(M, bool)
+    overflow = False
+    for b0 in range(0, M, EB):
+        watchdog.touch(f"ragged entry block {b0}/{M}")
+        # entry rows for reads [b0, b0+EB), streamed chunk by chunk
+        ent_parts = []
+        for i in range(b0, min(b0 + EB, M), chunk_reads):
+            chunk, cvalid, lens_c = chunk_rows(i, end=b0 + EB)
+            k_hi, k_lo, packed, payload = _ragged_entry_rows(
+                chunk, cvalid, lens_c, s, geo, i
+            )
+            m = chunk.shape[0]
+            ent_parts.append(jnp.concatenate(
+                [k_hi[:, :g].reshape(m * g, 1),
+                 k_lo[:, :g].reshape(m * g, 1),
+                 packed[:, :g].reshape(m * g, 1),
+                 payload[:, :g].reshape(m * g, Wt + 2)], axis=1,
+            ))
+            del chunk
+        entries = (jnp.concatenate(ent_parts) if len(ent_parts) > 1
+                   else ent_parts[0])
+        del ent_parts
+
+        for ci, i in enumerate(range(0, M, chunk_reads)):
+            watchdog.touch(f"ragged block {b0} probe chunk {i}/{M}")
+            chunk, cvalid, lens_c = chunk_rows(i)
+            out = _ragged_query_join(
+                entries, chunk, cvalid, lens_c, s, geo, i,
+                capacity_per_chunk, min_overlap, M,
+            )
+            k_src, k_dst, k_ovl, n_keep_dev, cont_c, total = out
+            if int(total) > capacity_per_chunk:
+                overflow = True
+                break       # fail fast: the pass is doomed
+            n_keep = int(n_keep_dev)
+            part = (
+                np.asarray(k_src[:n_keep]), np.asarray(k_dst[:n_keep]),
+                np.asarray(k_ovl[:n_keep]),
+            )
+            if frag_writers is not None:
+                for w, a in zip(frag_writers[ci], part):
+                    w.append(a)
+            else:
+                frags[ci].append(part)
+            contained |= np.asarray(cont_c)
+            del chunk
+        del entries
+        if overflow:
+            break
+
+    if overflow:
+        if frag_writers is not None:
+            for ws in frag_writers:
+                for w in ws:
+                    w.abort()
+        empty = np.zeros(0, np.int32)
+        return empty, empty, empty, 0, contained, True
+
+    # per-chunk merge of the per-block fragments (pairs unique across
+    # blocks -> lexsort by (src, dst) is a total order), chunks
+    # concatenate in ascending a-range — same output as the single-slab
+    # path (which emits per-chunk (src, dst)-sorted lists unpadded)
+    writers = (
+        [store.writer(n, np.int32)
+         for n in ("edges_raw_src", "edges_raw_dst", "edges_raw_ovl")]
+        if store is not None else None
+    )
+    chunks_out = []
+    n_edges_total = 0
+    for ci in range(n_chunks):
+        if frag_writers is not None:
+            src_c = np.asarray(frag_writers[ci][0].close())
+            dst_c = np.asarray(frag_writers[ci][1].close())
+            ovl_c = np.asarray(frag_writers[ci][2].close())
+        else:
+            parts = frags[ci]
+            src_c = np.concatenate([p[0] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+            dst_c = np.concatenate([p[1] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+            ovl_c = np.concatenate([p[2] for p in parts]) if parts else \
+                np.zeros(0, np.int32)
+        order = np.lexsort((dst_c, src_c))
+        part = (src_c[order], dst_c[order], ovl_c[order])
+        n_edges_total += part[0].shape[0]
+        if writers is not None:
+            for w, a in zip(writers, part):
+                w.append(a)
+            for nme in (f"efrag{ci}_src", f"efrag{ci}_dst",
+                        f"efrag{ci}_ovl"):
+                store.remove(nme)
+        else:
+            chunks_out.append(part)
+
+    if writers is not None:
+        src = writers[0].close()
+        dst = writers[1].close()
+        ovl = writers[2].close()
+        return src, dst, ovl, n_edges_total, contained, False
+    src = np.concatenate([c[0] for c in chunks_out])
+    dst = np.concatenate([c[1] for c in chunks_out])
+    ovl = np.concatenate([c[2] for c in chunks_out])
+    return src, dst, ovl, n_edges_total, contained, False
 
 
 def compact_pad_edges_spill(
@@ -740,6 +924,7 @@ def prepare_reads_chunked(
     canon_w_parts = []
     take_rc_parts = []
     for i in range(0, N, chunk_reads):
+        watchdog.touch(f"count chunk {i}/{N}")
         raw = reads[i : i + chunk_reads].astype(np.int32)
         if lengths is not None:
             # enforce zero padding so packed-word keys are well defined
@@ -859,6 +1044,7 @@ def correct_reads_chunked(
     )
 
     N = reads.shape[0]
+    use_twophase = rule == "single_window" and not FORCE_DENSE_CORRECT
     if out is None:
         out = np.array(reads, dtype=np.int8, copy=True)
     else:
@@ -871,9 +1057,10 @@ def correct_reads_chunked(
         table = count_kmers_chunked(out, k, chunk_reads, lengths=lengths)
         pruned = (
             prune_table_for_correction(table, threshold)
-            if rule == "single_window" else None
+            if use_twophase else None
         )
         for i in range(0, N, chunk_reads):
+            watchdog.touch(f"correct chunk {i}/{N}")
             raw = out[i : i + chunk_reads]
             nc = raw.shape[0]
             # pad the tail chunk to the common shape — an uneven split
@@ -891,7 +1078,7 @@ def correct_reads_chunked(
                 lc = np.full(chunk.shape[0], raw.shape[1], np.int32)
                 lc[:nc] = lengths[i : i + chunk_reads]
                 lens_c = jnp.asarray(lc)
-            if rule == "single_window":
+            if use_twophase:
                 corrected = twophase_round(
                     chunk, pruned, k, threshold, lengths=lens_c
                 )

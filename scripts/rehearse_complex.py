@@ -50,6 +50,23 @@ def main() -> int:
     from sage2_tpu.utils.platform import ensure_backend
 
     ensure_backend()
+    from sage2_tpu.utils.platform import warmup_compile
+
+    # absorb the unpredictable per-process first-compile cost
+    # (280-1500 s on the relay) before any stage timer starts
+    warmup_compile()
+
+    # relay-stall watchdog (VERDICT r4 Weak #7): a degraded relay once
+    # stalled a first dispatch >40 min and ate the round's rehearsal.
+    # Default 2400 s clears the measured 280-1500 s first-compile
+    # ceiling; any chunk heartbeat resets it. SAGE2_WATCHDOG_SECS=0
+    # disables.
+    from sage2_tpu.utils import watchdog
+
+    wd = float(os.environ.get("SAGE2_WATCHDOG_SECS", 2400))
+    if wd > 0:
+        watchdog.start(wd)
+        log(f"watchdog armed: {wd:.0f}s no-progress limit")
 
     from sage2_tpu.config import AssemblyConfig
     from sage2_tpu.data import simulate_complex_genome, simulate_reads

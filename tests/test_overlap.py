@@ -340,3 +340,42 @@ def test_stacked_dup_compaction_periodic():
     np.testing.assert_array_equal(src3[0], np.asarray(ref.src))
     np.testing.assert_array_equal(dst3[0], np.asarray(ref.dst))
     np.testing.assert_array_equal(ovl3[0], np.asarray(ref.ovl))
+
+
+def test_build_seed_rows_w0_equality():
+    """The words0-based seed-row build is bit-identical to the
+    shifted-packs build, for fixed-length and ragged inputs (round-5
+    seed-row-build lever; BASELINE.md round-4 floor ledger)."""
+    import jax.numpy as jnp
+
+    from sage2_tpu.data import simulate_genome, simulate_reads
+    from sage2_tpu.overlap.detect import (
+        build_seed_rows,
+        build_seed_rows_w0,
+        join_geometry,
+    )
+
+    genome = simulate_genome(900, seed=461)
+    reads, _ = simulate_reads(genome, read_len=100, coverage=8,
+                              error_rate=0.01, seed=462)
+    r = jnp.asarray(reads.astype(np.int32))
+    M, L = r.shape
+    valid = jnp.ones(M, bool)
+    for min_ovl, s in ((40, 32), (30, 20), (55, 32)):
+        geo = join_geometry(L, min_ovl, min(s, min_ovl, 32))
+        a = build_seed_rows(r, valid, min(s, min_ovl, 32), geo)
+        b = build_seed_rows_w0(r, valid, min(s, min_ovl, 32), geo)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ragged (with id_base, as the sharded path uses)
+    rng = np.random.default_rng(463)
+    lens = rng.integers(60, L + 1, M).astype(np.int32)
+    rr = np.where(np.arange(L)[None, :] < lens[:, None], reads, 0)
+    r2 = jnp.asarray(rr.astype(np.int32))
+    geo = join_geometry(L, 40, 32)
+    a = build_seed_rows(r2, valid, 32, geo, id_base=37,
+                        lengths=jnp.asarray(lens))
+    b = build_seed_rows_w0(r2, valid, 32, geo, id_base=37,
+                           lengths=jnp.asarray(lens))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -368,3 +368,39 @@ def test_partition_edges_by_src_matches_bruteforce():
     out = gather_cyclic_shards(sh, V)
     for v in range(V):
         assert out[v] == sh[v % ndev, v // ndev]
+
+
+def test_comm_ledger_records_collectives():
+    """The collective-volume ledger (config #4 communication model)
+    records per-program dispatch counts and operand bytes for the
+    sharded stages, and the meshed pipeline logs them."""
+    import jax.numpy as jnp
+
+    from sage2_tpu.data import simulate_genome, simulate_reads
+    from sage2_tpu.parallel import comm, make_mesh, sharded_count_kmers
+
+    comm.reset()
+    mesh = make_mesh(8)
+    genome = simulate_genome(600, seed=481)
+    reads, _ = simulate_reads(genome, read_len=40, coverage=10,
+                              error_rate=0.01, seed=482)
+    n = reads.shape[0] - reads.shape[0] % 8
+    table, ovf = sharded_count_kmers(
+        mesh, jnp.asarray(reads[:n].astype(np.int32)), 13,
+        route_cap=1 << 15,
+    )
+    assert not bool(ovf)
+    s = comm.summary()
+    assert "sharded_count_kmers" in s
+    e = s["sharded_count_kmers"]
+    assert e["dispatches"] == 1
+    assert e["bytes_per_dispatch"].get("all_to_all", 0) > 0
+    assert e["bytes_per_dispatch"].get("psum", 0) > 0
+    # second dispatch bumps the counter without re-recording shapes
+    sharded_count_kmers(mesh, jnp.asarray(reads[:n].astype(np.int32)),
+                        13, route_cap=1 << 15)
+    s2 = comm.summary()
+    assert s2["sharded_count_kmers"]["dispatches"] == 2
+    assert (s2["sharded_count_kmers"]["bytes_per_dispatch"]
+            == e["bytes_per_dispatch"])
+    comm.reset()

@@ -217,3 +217,43 @@ def test_ragged_streamed_meshed_matches_single_device():
     assert s_stats == t_stats
     for a, b in zip(single, triple):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_blocked_entry_join_matches_single_device():
+    """The RAGGED block-nested streamed join (entry slab streamed too,
+    tiny blocks forced) is bit-identical to the in-core ragged path,
+    including containment marks (VERDICT r4 #3 ragged analog)."""
+    from dataclasses import replace
+
+    genome = simulate_genome(3000, seed=31)
+    reads, lens = _ragged_reads(genome, 700, 50, 80, seed=32)
+    cfg = AssemblyConfig(k=15, min_overlap=30, min_contig_len=150)
+    single, s_stats = assemble(reads, cfg, lengths=lens)
+    blocked, b_stats = assemble(
+        reads, replace(cfg, max_device_reads=120,
+                       entry_block_reads=100),
+        lengths=lens,
+    )
+    assert s_stats == b_stats
+    for a, b in zip(single, blocked):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_blocked_join_spill(tmp_path):
+    """Ragged blocked join x spill store: fragments merge through
+    edges_raw_* and compact_pad_edges_spill exactly like the
+    single-slab spilled path."""
+    from dataclasses import replace
+
+    genome = simulate_genome(2500, seed=33)
+    reads, lens = _ragged_reads(genome, 600, 50, 80, seed=34)
+    cfg = AssemblyConfig(k=15, min_overlap=30, min_contig_len=150)
+    single, s_stats = assemble(reads, cfg, lengths=lens)
+    blocked, b_stats = assemble(
+        reads, replace(cfg, max_device_reads=120, entry_block_reads=90,
+                       spill_dir=str(tmp_path / "spill")),
+        lengths=lens,
+    )
+    assert s_stats == b_stats
+    for a, b in zip(single, blocked):
+        np.testing.assert_array_equal(a, b)
