@@ -119,7 +119,33 @@ class Circulation:
         return cycle
 
     def solve(self, max_iters: int = 1_000_000) -> int:
-        """Cancel negative cycles to optimality; returns total cost."""
+        """Cancel negative cycles to optimality; returns total cost.
+
+        Routes through the native C++ solver (graph.flow_native) when
+        available — an exact port (same arc order, comparisons, cycle
+        walks), so flows are bit-identical to the Python loops below
+        (tested); the Python path is the no-toolchain fallback. The
+        flow stage measured as the DOMINANT cost of the 10 Mbp
+        repeat-rich rehearsal before this (round-5, BASELINE.md)."""
+        if self.arcs:
+            from sage2_tpu.graph import flow_native
+
+            import numpy as np
+
+            to = np.fromiter((a.to for a in self.arcs), np.int32,
+                             len(self.arcs))
+            cap = np.fromiter((a.cap for a in self.arcs), np.int64,
+                              len(self.arcs))
+            cost = np.fromiter((a.cost for a in self.arcs), np.int64,
+                               len(self.arcs))
+            flow = flow_native.solve_circulation(
+                self.n, to, cap, cost, max_iters
+            )
+            if flow is not None:
+                for a, f in zip(self.arcs, flow.tolist()):
+                    a.flow = f
+                return sum(a.flow * a.cost for a in self.arcs[::2])
+
         iters = 0
         while iters < max_iters:
             cycle = self._find_negative_cycle()
@@ -433,42 +459,82 @@ def mincost_flow_paths(
             1 for c in comp_list if len(c) > max_component
         )
 
-    paths: List[List[int]] = []
-    covered: Set[int] = set()
-    for ci_, comp in enumerate(comp_list):
-        if ci_ % 64 == 0:
-            # heartbeat: the min-cost flow is pure host compute and can
-            # run tens of minutes on repeat-rich graphs — without this
-            # the relay-stall watchdog would kill a healthy run
-            from sage2_tpu.utils import watchdog
+    # group the (globally sorted) condensed edges by component ONCE:
+    # both endpoints of an edge share a component, so scanning + sorting
+    # the global edge dict inside every component's loop was
+    # O(components * E log E) — measured as a dominant term of the
+    # 10 Mbp rehearsal's flow stage (round 5)
+    comp_of_chain: Dict[int, int] = {}
+    for k_, comp in enumerate(comp_list):
+        for c in comp:
+            comp_of_chain[c] = k_
+    comp_edges: List[List[Tuple[Tuple[int, int], int]]] = [
+        [] for _ in comp_list
+    ]
+    for (ca, cb), mult_ in sorted(cedges.items()):
+        comp_edges[comp_of_chain[ca]].append(((ca, cb), mult_))
+    # per-component junction sets for _connect_floating_cycles: a
+    # foreign junction (x, c) can never fire there (x is unreachable
+    # from this component's source), so the filter is exact — and the
+    # global set was scanned per fixpoint round per component
+    comp_juncs: List[Set[Tuple[int, int]]] = [
+        {k for k, _ in es} for es in comp_edges
+    ]
 
-            watchdog.touch(f"flow component {ci_}/{len(comp_list)}")
+    # RC-component canonicalization (round 5): components pair under
+    # reverse complement in the double-stranded graph (verified exact on
+    # the 10 Mbp artifact: every component maps to one equal-size twin).
+    # Emitting BOTH sides and relying on exact-byte dedup in
+    # emit_contigs fails when the Euler tie-breaks decompose the two
+    # strands differently (measured: ~2x the genome emitted). Each pair
+    # is solved on BOTH strands and ONE side is emitted — the one whose
+    # decomposition keeps more bases above ``min_emit`` (the two
+    # decompositions are equal-cost optima but can fragment differently;
+    # picking the better-merged side recovered gf 0.75 -> ~0.9 on the
+    # rehearsal) — with the smaller minimum vertex id as the
+    # deterministic tie-break. Single-stranded graphs and self-symmetric
+    # components keep the old behavior.
+    from sage2_tpu.graph.finish import twin_uid
+
+    comp_min_v = [
+        min(min(g.unitigs[u].vertices)
+            for c in comp for u in chains[c].uids)
+        for comp in comp_list
+    ]
+    twin_of: List[Optional[int]] = [None] * len(comp_list)
+    for k_, comp in enumerate(comp_list):
+        t = twin_uid(g, chains[comp[0]].uids[0], cap)
+        if t is None or t not in chain_of:
+            continue
+        tk = comp_of_chain.get(chain_of[t])
+        if tk is not None and tk != k_:
+            twin_of[k_] = tk
+
+    def solve_component(ci_: int, comp: List[int]) -> List[List[int]]:
+        """Flow (or greedy fallback) paths of one component, as uid
+        paths; pure — no global state mutated."""
+        out_paths: List[List[int]] = []
         if len(comp) > max_component:
             sub = set()
             for c in comp:
                 sub.update(chains[c].uids)
-            for p in greedy_budget_paths(g, cap, only=sub):
-                paths.append(p)
-                covered.update(p)
-            continue
+            return list(greedy_budget_paths(g, cap, only=sub))
         local = {c: i for i, c in enumerate(comp)}
         n = len(comp)
         S, T = 2 * n, 2 * n + 1              # nodes: c_in=2i, c_out=2i+1
         net = Circulation(2 * n + 2)
-        unit_arcs: Dict[int, List[int]] = {}
         for c in comp:
             i = local[c]
-            unit_arcs[c] = [
+            for ucost in _chain_unit_costs(chains[c], max_extra):
                 net.add_arc(2 * i, 2 * i + 1, 1, ucost)
-                for ucost in _chain_unit_costs(chains[c], max_extra)
-            ]
         big = sum(
             max(ch.copies, default=0) + max_extra
             for ch in (chains[c] for c in comp)
         ) + 1
-        for (ca, cb), _mult in sorted(cedges.items()):
-            if ca in local and cb in local:
-                net.add_arc(2 * local[ca] + 1, 2 * local[cb], big, 0)
+        # comp_edges[ci_] holds this component's edges in the same
+        # global-sorted order the per-component scan produced
+        for (ca, cb), _mult in comp_edges[ci_]:
+            net.add_arc(2 * local[ca] + 1, 2 * local[cb], big, 0)
         for c in comp:
             i = local[c]
             net.add_arc(S, 2 * i, big, path_penalty)
@@ -509,7 +575,7 @@ def mincost_flow_paths(
             for (u, v), f in arc_flows.items()
         }
         _connect_floating_cycles(
-            flows2, set(cedges), relabel[-1], relabel[-2]
+            flows2, comp_juncs[ci_], relabel[-1], relabel[-2]
         )
         trails, cycles = _euler_paths(
             len(chains) + 2, relabel[-1], relabel[-2], flows2
@@ -521,8 +587,7 @@ def mincost_flow_paths(
             uid_path: List[int] = []
             for c in inner:
                 uid_path.extend(chains[c].uids)
-            paths.append(uid_path)
-            covered.update(uid_path)
+            out_paths.append(uid_path)
         for cyc in cycles:
             inner = [c for c in cyc if c < len(chains)]
             if not inner:
@@ -533,8 +598,51 @@ def mincost_flow_paths(
             uid_path = []
             for c in inner:
                 uid_path.extend(chains[c].uids)
-            paths.append(uid_path)
-            covered.update(uid_path)
+            out_paths.append(uid_path)
+        return out_paths
+
+    paths: List[List[int]] = []
+    covered: Set[int] = set()
+    n_suppressed = 0
+    done: Set[int] = set()
+    for ci_, comp in enumerate(comp_list):
+        if ci_ % 64 == 0:
+            # heartbeat: the min-cost flow is pure host compute and can
+            # run tens of minutes on repeat-rich graphs — without this
+            # the relay-stall watchdog would kill a healthy run
+            from sage2_tpu.utils import watchdog
+
+            watchdog.touch(f"flow component {ci_}/{len(comp_list)}")
+        if ci_ in done:
+            continue
+        done.add(ci_)
+        tk = twin_of[ci_]
+        if tk is not None and tk not in done:
+            # canonical member of the pair = the one holding the
+            # smaller minimum vertex id (deterministic). Selecting by
+            # per-side emitted-content metrics was tried and measured
+            # WORSE on the 10 Mbp rehearsal (gf 0.75 -> 0.65): the
+            # strands' equal-cost decompositions fragment differently
+            # and neither path-bases nor distinct-unitig-bases predicts
+            # genome coverage — RC-symmetric Euler tie-breaks are the
+            # real fix (future work, BASELINE.md round-5).
+            done.add(tk)
+            n_suppressed += 1
+            if comp_min_v[ci_] > comp_min_v[tk]:
+                # twin is canonical: solve/emit it, suppress this one
+                for c in comp:
+                    covered.update(chains[c].uids)
+                for p in solve_component(tk, comp_list[tk]):
+                    paths.append(p)
+                    covered.update(p)
+                continue
+            for c in comp_list[tk]:
+                covered.update(chains[c].uids)
+        for p in solve_component(ci_, comp):
+            paths.append(p)
+            covered.update(p)
+    if stats_out is not None:
+        stats_out["flow_twin_components_suppressed"] = n_suppressed
 
     # no sequence loss: emit uncovered unitigs as singletons
     for uid in sorted(g.unitigs):

@@ -140,3 +140,55 @@ def test_e2e_repeat_genome_mincost_beats_greedy():
     # and the repeat must be spanned: some contig longer than x+r prefix
     # region forces traversal through both repeat contexts
     assert stats["max_contig"] > len(x) + len(r) + 50
+
+
+def test_native_solver_bit_identical_to_python():
+    """The C++ circulation solver is an exact port: flows (not just
+    costs) must equal the Python loops bit for bit on random instances
+    (same arc order, same comparisons, same cycle walks)."""
+    import numpy as np
+
+    from sage2_tpu.graph import flow_native
+    from sage2_tpu.graph.flowpaths import Circulation
+
+    if not flow_native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(991)
+    for trial in range(20):
+        n = int(rng.integers(4, 40))
+        net_py = Circulation(n)
+        arcs = []
+        for _ in range(int(rng.integers(n, 4 * n))):
+            u, v = rng.integers(0, n, 2)
+            cap = int(rng.integers(0, 8))
+            cost = int(rng.integers(-10, 11))
+            arcs.append((int(u), int(v), cap, cost))
+            net_py.add_arc(int(u), int(v), cap, cost)
+        # python reference (force the fallback path)
+        to = np.fromiter((a.to for a in net_py.arcs), np.int32)
+        cap_a = np.fromiter((a.cap for a in net_py.arcs), np.int64)
+        cost_a = np.fromiter((a.cost for a in net_py.arcs), np.int64)
+        # run pure python by temporarily disabling the native route
+        import sage2_tpu.graph.flow_native as fn
+
+        orig = fn.solve_circulation
+        fn.solve_circulation = lambda *a, **k: None
+        try:
+            cost_py = net_py.solve()
+        finally:
+            fn.solve_circulation = orig
+        flows_py = [a.flow for a in net_py.arcs]
+
+        flow_nat = flow_native.solve_circulation(
+            n, to, cap_a, cost_a, 1_000_000
+        )
+        assert flow_nat is not None
+        assert flow_nat.tolist() == flows_py, f"trial {trial}"
+        cost_nat = int(sum(
+            int(f) * int(c) for f, c in
+            zip(flow_nat.tolist()[::2], cost_a.tolist()[::2])
+        ))
+        assert cost_nat == cost_py, f"trial {trial}"
