@@ -72,14 +72,11 @@ class Circulation:
     def __init__(self, n: int):
         self.n = n
         self.arcs: List[_Arc] = []          # even index i, reverse at i^1
-        self.adj: List[List[int]] = [[] for _ in range(n)]
 
     def add_arc(self, u: int, v: int, cap: int, cost: int) -> int:
         i = len(self.arcs)
         self.arcs.append(_Arc(v, cap, cost))
         self.arcs.append(_Arc(u, 0, -cost))
-        self.adj[u].append(i)
-        self.adj[v].append(i + 1)
         return i
 
     def _residual(self, i: int) -> int:
