@@ -43,7 +43,7 @@ smaller than the unitig graph).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 from sage2_tpu.graph.finish import UnitigGraph, greedy_budget_paths
 
